@@ -1,0 +1,258 @@
+"""Schema → compiled Column-expression predicate tree.
+
+Replaces the reference's interpreted per-envelope tree-walk
+(Validator.java:191-201; validator.rs:109-117) with a compile-once plan:
+the schema dict is turned into an ORDERED list of ``(violation_condition:
+Column, message: str)`` pairs, then fused into ONE projection::
+
+    errors        = array_compact(array(when(cond_i, lit(msg_i)) ...))
+    valid         = size(errors) == 0
+    error_message = when(valid, "Validation successful")
+                    .otherwise(array_join(errors, "; "))
+
+Check order is the reference's exactly (Validator.java:196-198):
+required[] in schema-array order → top-level type → properties in
+schema-object insertion order. ``json.loads`` preserves key order, matching
+Jackson ObjectNode / serde_json::Map insertion order (SURVEY.md §2.1).
+
+Two modes:
+
+- **relational** (fast path, whole-stage codegen, zero Python): the payload
+  is the DataFrame's typed columns. "Field absent" ≙ column NULL (the
+  fixed-schema relational encoding of open JSON — SURVEY.md §1.3). Type
+  checks resolve STATICALLY from the column's Spark type (a DoubleType value
+  can never be a JSON integer — Jackson isIntegralNumber semantics,
+  Validator.java:100-101), so they compile to either nothing or
+  ``isNotNull()``.
+
+- **json** (schema-on-read path): the payload is a JSON-string column;
+  checks run in ONE vectorized pandas UDF (Arrow batches, no per-row Python
+  UDF registration) that applies the same oracle semantics per batch —
+  preserving the absent-vs-explicit-null distinction the reference has
+  (``has()`` passes required for explicit null, Validator.java:123, but a
+  non-null type check then fails — SURVEY.md §7(b)).
+
+Engine extensions beyond the reference's 3-check subset (mandated by
+BASELINE.json north_star, NOT present in Pacts): per-property ``enum``
+(compiled to ``isin`` — pure Column) and ``pattern`` (vectorized pandas-UDF
+regex probe). Their error strings are engine-defined.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from pacts_spark import errors as E
+from pacts_spark import oracle
+
+# JSON type names a Spark column type can satisfy (Validator.java:90-109).
+# Timestamps/dates serialize to ISO strings in the reference's wire format
+# (JavaTimeModule, Validator.java:29) → JSON "string".
+_JSON_TYPES_OF: list[tuple[type, frozenset[str]]] = [
+    (T.BooleanType, frozenset({"boolean"})),
+    (T.ByteType, frozenset({"integer", "number"})),
+    (T.ShortType, frozenset({"integer", "number"})),
+    (T.IntegerType, frozenset({"integer", "number"})),
+    (T.LongType, frozenset({"integer", "number"})),
+    (T.FloatType, frozenset({"number"})),
+    (T.DoubleType, frozenset({"number"})),
+    (T.DecimalType, frozenset({"number"})),
+    (T.StringType, frozenset({"string"})),
+    (T.VarcharType, frozenset({"string"})),
+    (T.CharType, frozenset({"string"})),
+    (T.TimestampType, frozenset({"string"})),
+    (T.TimestampNTZType, frozenset({"string"})),
+    (T.DateType, frozenset({"string"})),
+    (T.ArrayType, frozenset({"array"})),
+    (T.StructType, frozenset({"object"})),
+    (T.MapType, frozenset({"object"})),
+    (T.NullType, frozenset({"null"})),
+]
+
+KNOWN_JSON_TYPES = {"object", "array", "string", "number", "integer", "boolean", "null"}
+
+
+def json_types_of(dt: T.DataType) -> frozenset[str]:
+    for cls, names in _JSON_TYPES_OF:
+        if isinstance(dt, cls):
+            return names
+    return frozenset()
+
+
+def _enum_error(field: str, values: list) -> str:
+    """Engine extension (no reference analogue)."""
+    return f"Invalid value for field '{field}'. Expected one of: {', '.join(map(str, values))}"
+
+
+def _pattern_error(field: str, pattern: str) -> str:
+    """Engine extension (no reference analogue)."""
+    return f"Invalid format for field '{field}'. Expected pattern: {pattern}"
+
+
+def compile_relational(
+    schema: dict, df_schema: T.StructType
+) -> list[tuple[Column, str]]:
+    """Compile a pact schema against a typed DataFrame schema.
+
+    Returns the ordered ``(violation_condition, message)`` list. Conditions
+    are pure Column expressions — Catalyst folds the constant ones and
+    whole-stage-codegens the rest; the scan only reads referenced columns.
+    """
+    fields = {f.name: f.dataType for f in df_schema.fields}
+    checks: list[tuple[Column, str]] = []
+
+    # 1. required[] in schema order (Validator.java:118-128)
+    for fname in schema.get("required", []) or []:
+        if fname not in fields:
+            checks.append((F.lit(True), E.required_field_missing(fname)))
+        else:
+            checks.append((F.col(fname).isNull(), E.required_field_missing(fname)))
+
+    # 2. top-level type (Validator.java:137-144): a relational row is a JSON
+    #    object → "object" and unknown names pass; anything else fails all rows.
+    top = schema.get("type")
+    if isinstance(top, str) and top in KNOWN_JSON_TYPES and top != "object":
+        checks.append((F.lit(True), E.invalid_type(top)))
+
+    # 3. properties in schema insertion order, present-only, non-recursive
+    #    (Validator.java:154-182)
+    props = schema.get("properties")
+    if isinstance(props, dict):
+        for pname, pschema in props.items():
+            pschema = pschema or {}
+            ptype = pschema.get("type")
+            present = (
+                F.col(pname).isNotNull() if pname in fields else F.lit(False)
+            )
+            if isinstance(ptype, str) and ptype in KNOWN_JSON_TYPES:
+                matches = pname in fields and ptype in json_types_of(fields[pname])
+                if pname in fields and not matches:
+                    # static mismatch: every present value violates
+                    checks.append((present, E.invalid_type_for_field(pname, ptype)))
+                # static match or absent column → no check (absent ≙ skipped,
+                # Validator.java:176)
+            # engine extensions
+            enum = pschema.get("enum")
+            if isinstance(enum, list) and pname in fields:
+                checks.append(
+                    (present & ~F.col(pname).isin(enum), _enum_error(pname, enum))
+                )
+            pattern = pschema.get("pattern")
+            if isinstance(pattern, str) and pname in fields:
+                checks.append(
+                    (
+                        present & ~_regex_match_udf(pattern)(F.col(pname).cast("string")),
+                        _pattern_error(pname, pattern),
+                    )
+                )
+    return checks
+
+
+def _regex_match_udf(pattern: str):
+    """Vectorized regex probe: Python ``re`` semantics over Arrow batches
+    (north_star: regex checks as pandas UDFs, never per-row Python UDFs)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    @pandas_udf(T.BooleanType())
+    def _match(s: pd.Series) -> pd.Series:
+        return s.str.match(rx).fillna(False).astype(bool)
+
+    return _match
+
+
+def errors_column(checks: list[tuple[Column, str]]) -> Column:
+    """Fuse ordered checks into one ``array<string>`` expression
+    (ValidationResult algebra, ValidationResult.java:71-77)."""
+    if not checks:
+        return F.array().cast("array<string>")
+    slots = [F.when(cond, F.lit(msg)) for cond, msg in checks]
+    return F.array_compact(F.array(*slots))
+
+
+def attach_validation(
+    df: DataFrame,
+    checks: list[tuple[Column, str]],
+    errors_col: str = "errors",
+    valid_col: str = "valid",
+    message_col: str = "error_message",
+) -> DataFrame:
+    """Single fused projection adding errors/valid/error_message columns.
+
+    One table scan, no shuffle; the whole check list runs inside one
+    whole-stage-codegen span (SURVEY.md §4.2(b) single-pass check fusion).
+    """
+    df = df.withColumn(errors_col, errors_column(checks))
+    df = df.withColumn(valid_col, F.size(errors_col) == F.lit(0))
+    df = df.withColumn(
+        message_col,
+        F.when(F.col(valid_col), F.lit(E.VALIDATION_SUCCESSFUL)).otherwise(
+            F.array_join(errors_col, E.ERROR_JOINER)
+        ),
+    )
+    return df
+
+
+def json_mode_validator(schema: dict):
+    """Compile a pact schema into ONE vectorized pandas UDF for JSON-string
+    payload columns: ``errors = udf(json_col)`` returning ``array<string>``.
+
+    Arrow-batched (Series → Series); preserves absent-vs-explicit-null
+    (oracle.validate_data implements ``has()`` semantics,
+    Validator.java:123). Malformed JSON → reference catch-all
+    ``Validation error: {msg}`` (Validator.java:76-78).
+    """
+    import json as _json
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _validate(s: pd.Series) -> pd.Series:
+        out = []
+        for raw in s:
+            if raw is None:
+                # JSON null payload: required fields missing + type check
+                out.append(oracle.validate_data(None, schema).errors)
+                continue
+            try:
+                data = _json.loads(raw)
+            except Exception as exc:  # noqa: BLE001
+                out.append([E.validation_error(str(exc))])
+                continue
+            out.append(oracle.validate_data(data, schema).errors)
+        return pd.Series(out)
+
+    return _validate
+
+
+def attach_validation_json(
+    df: DataFrame,
+    schema: dict,
+    json_col: str,
+    errors_col: str = "errors",
+    valid_col: str = "valid",
+    message_col: str = "error_message",
+) -> DataFrame:
+    """JSON-mode twin of :func:`attach_validation`."""
+    df = df.withColumn(errors_col, json_mode_validator(schema)(F.col(json_col)))
+    df = df.withColumn(valid_col, F.size(errors_col) == F.lit(0))
+    df = df.withColumn(
+        message_col,
+        F.when(F.col(valid_col), F.lit(E.VALIDATION_SUCCESSFUL)).otherwise(
+            F.array_join(errors_col, E.ERROR_JOINER)
+        ),
+    )
+    return df
+
+
+def payload_as_json(row: dict[str, Any]) -> dict[str, Any]:
+    """Canonical relational-row → JSON-object mapping used by differential
+    tests: NULL columns are ABSENT keys (SURVEY.md §1.3 'field absent ≙
+    column NULL'). Keeps oracle and engine semantics aligned in
+    relational mode."""
+    return {k: v for k, v in row.items() if v is not None}

@@ -1,0 +1,155 @@
+"""Schema registry: versioned JSON schemas keyed ``domain/version/category/name``.
+
+Re-expresses the reference's SchemaLoader (SchemaLoader.java:31-259;
+schema_loader.rs:20-208) as a driver-side component. Schemas are compiled
+once into Column predicate trees (compiler.py); executors never see the
+registry except as a broadcast dict for pandas-UDF JSON-mode checks.
+
+Behavior choices on Java/Rust divergence (SURVEY.md §2.2):
+- missing schema → ``None`` (caller emits error row) — Java
+  (SchemaLoader.java:90-101), not the Rust panic (schema_loader.rs:66-69);
+- bundle-load failure → warn + local-dir fallback — Java
+  (SchemaLoader.java:66-70), not the Rust panic;
+- ``parsed_version`` on garbage → raise — Java (SchemaLoader.java:257-259),
+  not Rust's ``unwrap_or(1)`` (schema_loader.rs:93-95).
+
+Path rule (SchemaLoader.java:179-190; schema_loader.rs:190-203): a schema
+file at ``.../{domain}/{version}/{category}/{name}.json`` is keyed by its
+last three path segments plus the stem.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+
+MAX_SCHEMA_BYTES = 10 * 1024 * 1024  # per-entry guard, SchemaLoader.java:43
+
+
+class SchemaRegistry:
+    """In-memory schema cache keyed ``domain/version/category/name``.
+
+    Mirrors SchemaLoader.java:31-223 / schema_loader.rs:20-95: same key
+    shape, same lazy disk fallback, same clear_cache semantics.
+    """
+
+    def __init__(self, domain: str = "bees", version: str = "v1",
+                 schema_root: str | Path | None = None) -> None:
+        self.domain = domain
+        self.version = version
+        self.schema_root = Path(schema_root) if schema_root else None
+        self._cache: dict[str, dict] = {}
+
+    # -- keys ---------------------------------------------------------------
+
+    def key(self, category: str, name: str) -> str:
+        return f"{self.domain}/{self.version}/{category}/{name}"
+
+    @property
+    def parsed_version(self) -> int:
+        """``"v1"`` → 1; raises on garbage (Java: SchemaLoader.java:257-259)."""
+        return int(self.version.lstrip("v"))
+
+    # -- lookup -------------------------------------------------------------
+
+    def load_schema(self, category: str, name: str) -> dict | None:
+        """Cache hit, else disk path ``{root}/{domain}/{version}/{category}/
+        {name}.json`` (SchemaLoader.java:81-101); None if missing."""
+        k = self.key(category, name)
+        if k in self._cache:
+            return self._cache[k]
+        if self.schema_root is not None:
+            p = self.schema_root / self.domain / self.version / category / f"{name}.json"
+            if p.is_file() and p.stat().st_size <= MAX_SCHEMA_BYTES:
+                schema = json.loads(p.read_text())
+                self._cache[k] = schema
+                return schema
+        return None
+
+    def put(self, category: str, name: str, schema: dict) -> None:
+        self._cache[self.key(category, name)] = schema
+
+    def clear_cache(self) -> None:
+        """SchemaLoader.java:221-223; schema_loader.rs:73-75."""
+        self._cache.clear()
+
+    def cached_keys(self) -> list[str]:
+        return sorted(self._cache)
+
+    # -- bulk load ----------------------------------------------------------
+
+    def load_dir(self, root: str | Path) -> int:
+        """Walk ``**/*.json`` under a directory, key by last 3 segments +
+        stem (path rule SchemaLoader.java:179-190). Returns count loaded."""
+        root = Path(root)
+        n = 0
+        for p in sorted(root.rglob("*.json")):
+            parts = p.relative_to(root).parts
+            if len(parts) < 4:
+                continue  # need domain/version/category/name.json
+            domain, version, category = parts[-4], parts[-3], parts[-2]
+            name = p.stem
+            if p.stat().st_size > MAX_SCHEMA_BYTES:
+                continue  # entry-size guard (SchemaLoader.java:43,163-167)
+            self._cache[f"{domain}/{version}/{category}/{name}"] = json.loads(
+                p.read_text()
+            )
+            n += 1
+        return n
+
+    def load_zip(self, source: str | Path | bytes) -> int:
+        """Bulk load from a schema bundle ZIP — the local analogue of the
+        reference's remote ZIP ingest (SchemaLoader.java:139-216;
+        schema_loader.rs:97-208). Same entry-walk + path-parse rule; same
+        per-entry size guard. No network in this sandbox; prod would fetch
+        the bundle to a local path first (first-source-wins over a
+        configured URL list, SchemaLoader.java:114-137)."""
+        if isinstance(source, bytes):
+            fh: io.BytesIO | str = io.BytesIO(source)
+        else:
+            fh = str(source)
+        n = 0
+        with zipfile.ZipFile(fh) as zf:
+            for entry in sorted(zf.namelist()):
+                if not entry.endswith(".json") or entry.endswith("/"):
+                    continue
+                parts = [s for s in entry.split("/") if s]
+                if len(parts) < 4:
+                    continue
+                info = zf.getinfo(entry)
+                if info.file_size > MAX_SCHEMA_BYTES:
+                    continue
+                domain, version, category = parts[-4], parts[-3], parts[-2]
+                name = parts[-1][: -len(".json")]
+                self._cache[f"{domain}/{version}/{category}/{name}"] = json.loads(
+                    zf.read(entry).decode("utf-8")
+                )
+                n += 1
+        return n
+
+    def load_sources(self, sources: list[str | Path]) -> int:
+        """First-source-wins over an ordered source list
+        (SchemaLoader.java:139-211; schema_loader.rs:97-122): try each
+        bundle (zip or dir) in order; first successful load wins. On total
+        failure, fall back to ``schema_root`` lazy-disk mode (Java:
+        SchemaLoader.java:66-70) rather than raising (Rust panics)."""
+        for src in sources:
+            try:
+                p = Path(src)
+                n = self.load_zip(p) if p.suffix == ".zip" else self.load_dir(p)
+                if n > 0:
+                    return n
+            except Exception:  # noqa: BLE001 — warn-and-continue per Java
+                continue
+        return 0
+
+    def as_validator_dict(self) -> dict[str, dict]:
+        """``{category}/{name}`` → schema view for the validator/oracle
+        (lookup shape of SchemaLoader.java:81-86) for the registry's own
+        domain/version."""
+        prefix = f"{self.domain}/{self.version}/"
+        return {
+            k[len(prefix):]: v for k, v in self._cache.items() if k.startswith(prefix)
+        }

@@ -1,0 +1,44 @@
+"""SparkSession builder tuned for the validation engine.
+
+Local-mode settings mirror what a 1000-executor cluster run would set via
+``spark-submit --py-files`` (north_rule launch mode): AQE on (skew-join
+splitting + shuffle coalescing), Arrow for pandas UDFs, shuffle partitions
+sized to the parallelism level. At 100 TB the same job runs unchanged with
+``spark.sql.shuffle.partitions`` raised to O(cores × 2-3) and the table
+behind an Iceberg catalog (this sandbox has no Iceberg jars; the engine's
+table layer is plain parquet with the Iceberg DDL documented in
+checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "pacts-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
