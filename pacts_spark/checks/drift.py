@@ -1,0 +1,122 @@
+"""Distribution-drift checks: KL divergence + chi-squared over categorical
+histograms (``role``, ``tool``) — north_star mandate.
+
+Scales up the reference's run-over-run contract-stability idea (schema
+versioning v1→v2, SchemaLoader.java:257-259) to distribution stability.
+
+Scale design: histogram building is one ``groupBy(partition, category)``
+with map-side combine — the shuffle carries one row per (partition,
+category), i.e. bytes, not terabytes. Score computation joins two
+histograms on category; both sides are tiny post-aggregation, so the join
+is a broadcast regardless of input scale. The grouped-pandas variant
+(``drift_scores_pandas``) demonstrates the applyInPandas path for score
+math that outgrows Column expressions; both produce identical numbers.
+
+Smoothing: add-one (Laplace) over the UNION of category domains — fully
+deterministic and expressible in both Spark and ANSI SQL, so the DuckDB
+oracle can reproduce scores bit-for-bit (modulo float rounding; scores are
+rounded to 6 decimals for stable cross-engine hashing).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def category_histogram(
+    df: DataFrame, col: str, partition_col: Column | str | None = None
+) -> DataFrame:
+    """``(part, category, n)`` counts; NULL categories become '__null__'
+    (drift over missingness is itself a signal)."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("__null__")).alias("category")
+    if partition_col is None:
+        return df.groupBy(cat).agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "part", F.lit("__all__")
+        )
+    pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    return df.groupBy(pcol.alias("part"), cat).agg(F.count(F.lit(1)).alias("n"))
+
+
+def drift_scores(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """KL(current‖baseline) and chi-squared per part.
+
+    Inputs are ``category_histogram`` outputs (current may be per-part;
+    baseline is one reference histogram with part ignored). Laplace
+    add-one smoothing over the union domain.
+    """
+    base = baseline.groupBy("category").agg(F.sum("n").alias("m"))
+    cur = current.groupBy("part", "category").agg(F.sum("n").alias("n"))
+
+    # union domain per part: full outer join on category within each part
+    parts = cur.select("part").distinct()
+    domain = parts.crossJoin(base.select("category")).unionByName(
+        cur.select("part", "category")
+    ).distinct()
+    j = (
+        domain.join(cur, ["part", "category"], "left")
+        .join(F.broadcast(base), ["category"], "left")
+        .fillna(0, subset=["n", "m"])
+    )
+    totals = j.groupBy("part").agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("m").alias("tot_m"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+    j2 = j.join(totals, "part")
+    p = (F.col("n") + F.lit(1)) / (F.col("tot_n") + F.col("n_cats"))
+    q = (F.col("m") + F.lit(1)) / (F.col("tot_m") + F.col("n_cats"))
+    # chi-squared vs expected counts scaled from the smoothed baseline
+    expected = q * F.col("tot_n")
+    kl_term = p * F.log(p / q)
+    chi_term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    return (
+        j2.groupBy("part")
+        .agg(
+            F.round(F.sum(kl_term), 6).alias("kl_divergence"),
+            F.round(F.sum(chi_term), 6).alias("chi_squared"),
+            F.max("n_cats").alias("n_categories"),
+        )
+        .orderBy("part")
+    )
+
+
+def drift_scores_pandas(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """applyInPandas twin of :func:`drift_scores` — same math, computed per
+    part inside a grouped Arrow batch (the pattern for score functions that
+    outgrow Column expressions, e.g. t-digest merges)."""
+    base_pdf = (
+        baseline.groupBy("category").agg(F.sum("n").alias("m")).toPandas()
+    )
+    base_map = dict(zip(base_pdf["category"], base_pdf["m"]))
+
+    cur = current.groupBy("part", "category").agg(F.sum("n").alias("n"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["part"].iloc[0]
+        cats = set(pdf["category"]) | set(base_map)
+        n_map = dict(zip(pdf["category"], pdf["n"]))
+        N = sum(n_map.values())
+        M = sum(base_map.values())
+        K = len(cats)
+        kl = chi = 0.0
+        for c in sorted(cats):
+            n = n_map.get(c, 0)
+            m = base_map.get(c, 0)
+            p = (n + 1) / (N + K)
+            q = (m + 1) / (M + K)
+            kl += p * math.log(p / q)
+            exp = q * N
+            chi += (n - exp) ** 2 / exp
+        return pd.DataFrame(
+            [[part, round(kl, 6), round(chi, 6), K]],
+            columns=["part", "kl_divergence", "chi_squared", "n_categories"],
+        )
+
+    return cur.groupBy("part").applyInPandas(
+        score,
+        "part string, kl_divergence double, chi_squared double, n_categories long",
+    )

@@ -1,0 +1,75 @@
+"""Uniqueness check on (conv_id, turn_idx) — north_star mandate.
+
+Scales up the reference's implicit envelope-identity contract (UUID
+target_id/profile_id uniqueness in SpringBootMessageTest.java:105,264-265)
+to a distributed duplicate-key detector.
+
+Scale design (north_rule: "skew handled explicitly"): the naive
+``groupBy(keys).count()`` already map-side-combines, but a whale
+conversation (one conv_id = hot hash bucket when aggregating BY conv alone,
+or a single reducer receiving the whale's whole key range) can straggle.
+``duplicate_keys`` therefore does SALTED TWO-PHASE aggregation:
+
+  phase 1: groupBy(keys..., salt) count        -- salt spreads identical
+                                                  key-groups over S reducers
+  phase 2: groupBy(keys...) sum(partial)       -- tiny input (distinct keys)
+
+Salt is deterministic (hash of a payload column mod S, never rand()) so
+reruns are reproducible (SURVEY.md §7(d)). AQE skew-join/coalesce is on in
+session.py as the second line of defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str | Column | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity.
+
+    Returns ``keys... , dup_count`` for groups with count > 1, salted
+    two-phase when ``salt_col`` is given (use a high-entropy payload column
+    like ``text``; identical full-duplicate rows still collide on their
+    salt, which is harmless — the whale key's VOLUME is what gets spread).
+    """
+    if salt_col is not None:
+        sc = F.col(salt_col) if isinstance(salt_col, str) else salt_col
+        salted = df.withColumn("__salt", F.pmod(F.xxhash64(sc), F.lit(salt_buckets)))
+        partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+        counts = partial.groupBy(*keys).agg(F.sum("__c").alias("dup_count"))
+    else:
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counts.filter(F.col("dup_count") > 1)
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str | Column | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exploded per-row violation form: every row whose key is duplicated,
+    tagged with the reference-style message catalog extension
+    ``Duplicate key: (k1=v1, k2=v2) appears N times``.
+
+    Join back is a broadcast when the duplicate set is small (it should
+    be — violations are the tail), else AQE picks SMJ.
+    """
+    dups = duplicate_keys(df, keys, salt_col=salt_col, salt_buckets=salt_buckets)
+    joined = df.join(F.broadcast(dups), on=keys, how="inner")
+    msg = F.concat(
+        F.lit("Duplicate key: ("),
+        F.concat_ws(
+            ", ", *[F.concat(F.lit(f"{k}="), F.col(k).cast("string")) for k in keys]
+        ),
+        F.lit(") appears "),
+        F.col("dup_count").cast("string"),
+        F.lit(" times"),
+    )
+    return joined.withColumn("violation", msg)

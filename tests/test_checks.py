@@ -1,0 +1,131 @@
+"""Engine-level check tests over the canonical events→transcripts derivation
+(known injected violations) + hand-built frames with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pacts_spark.checks import (
+    category_histogram,
+    column_stats,
+    drift_scores,
+    duplicate_keys,
+    gap_quantiles,
+    ri_violations,
+    ts_gaps,
+    uniqueness_violations,
+)
+from pacts_spark.checks.drift import drift_scores_pandas
+from pacts_spark.transcripts import conversations_dim, tools_dim, transcripts_from_events
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, events_small):
+    return transcripts_from_events(events_small).cache()
+
+
+def test_column_stats_exact(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 3), (None, 4)], "k string, v int"
+    )
+    out = {r.column: r for r in column_stats(df, ["k", "v"], exact_distinct=True).collect()}
+    assert out["k"].n_nulls == 1 and out["k"].n_distinct == 2
+    assert out["v"].null_rate == 0.25
+    assert out["v"].min_value == "1" and out["v"].max_value == "4"
+
+
+def test_column_stats_partitioned(transcripts):
+    out = column_stats(
+        transcripts, ["text", "tool"], partition_col=F.to_date("ts").cast("string")
+    ).collect()
+    assert len(out) > 0
+    by = {(r.part, r.column): r for r in out}
+    # text nulls injected where props='{"k": 0}' — some partition must see them
+    assert any(r.n_nulls > 0 for (p, c), r in by.items() if c == "text")
+
+
+def test_duplicate_keys_salted_equals_unsalted(transcripts):
+    plain = {
+        (r.conv_id, r.turn_idx): r.dup_count
+        for r in duplicate_keys(transcripts, ["conv_id", "turn_idx"]).collect()
+    }
+    salted = {
+        (r.conv_id, r.turn_idx): r.dup_count
+        for r in duplicate_keys(
+            transcripts, ["conv_id", "turn_idx"], salt_col="text", salt_buckets=8
+        ).collect()
+    }
+    assert plain == salted and len(plain) > 0  # event_id%97 injection present
+
+
+def test_uniqueness_violation_rows(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, "a"), ("c1", 1, "b"), ("c2", 1, "c")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = uniqueness_violations(df, ["conv_id", "turn_idx"], salt_col="text").collect()
+    assert len(out) == 2
+    assert all(r.violation == "Duplicate key: (conv_id=c1, turn_idx=1) appears 2 times" for r in out)
+
+
+def test_ri_violations(spark, transcripts, events_small):
+    tools = tools_dim(spark)
+    orphans = ri_violations(transcripts, tools, "tool")
+    got = orphans.select("tool").distinct().collect()
+    assert {r.tool for r in got} == {"tool-5", "tool-6"}  # mod-7 vs 5-tool dim
+    convs = conversations_dim(events_small)
+    conv_orphans = ri_violations(transcripts, convs, "conv_id")
+    bad = {r.conv_id for r in conv_orphans.select("conv_id").distinct().collect()}
+    assert all(int(c.split("-")[1]) % 29 == 7 for c in bad) and bad
+
+
+def test_ri_null_keys_excluded(spark):
+    fact = spark.createDataFrame([("x",), (None,)], "k string")
+    dim = spark.createDataFrame([("y",)], "k string")
+    out = ri_violations(fact, dim, "k").collect()
+    assert len(out) == 1 and out[0].k == "x"
+
+
+def test_drift_identical_distributions_near_zero(spark):
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "role string")
+    hist = category_histogram(df, "role")
+    out = drift_scores(hist, hist).collect()[0]
+    assert abs(out.kl_divergence) < 1e-6
+    assert abs(out.chi_squared) < 1e-6
+
+
+def test_drift_known_shift_and_pandas_parity(spark):
+    cur = spark.createDataFrame([("p", "a", 90), ("p", "b", 10)], "part string, category string, n long")
+    base = spark.createDataFrame([("x", "a", 50), ("x", "b", 50)], "part string, category string, n long")
+    col_row = drift_scores(cur, base).collect()[0]
+    pdf_row = drift_scores_pandas(cur, base).collect()[0]
+    assert col_row.kl_divergence == pdf_row.kl_divergence
+    assert col_row.chi_squared == pdf_row.chi_squared
+    # hand-computed: p=(91/102, 11/102), q=(51/102, 51/102)
+    p = [91 / 102, 11 / 102]
+    q = [51 / 102, 51 / 102]
+    kl = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert abs(col_row.kl_divergence - round(kl, 6)) < 1e-9
+
+
+def test_ts_gaps_and_quantiles(spark):
+    rows = [("c1", 1, 0), ("c1", 2, 60), ("c1", 3, 180), ("c2", 1, 0), ("c2", 2, 30)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, epoch long").select(
+        "conv_id", "turn_idx", F.timestamp_seconds("epoch").alias("ts")
+    )
+    gaps = ts_gaps(df).filter(F.col("gap_seconds").isNotNull()).collect()
+    assert sorted(r.gap_seconds for r in gaps) == [30.0, 60.0, 120.0]
+    q = gap_quantiles(df, exact=True, quantiles=[0.5]).collect()[0]
+    assert q.p50 == 60.0 and q.n_gaps == 3 and q.n_negative_gaps == 0
+
+
+def test_gap_quantiles_detects_out_of_order(spark):
+    rows = [("c1", 1, 100), ("c1", 2, 50)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, epoch long").select(
+        "conv_id", "turn_idx", F.timestamp_seconds("epoch").alias("ts")
+    )
+    q = gap_quantiles(df, exact=True).collect()[0]
+    assert q.n_negative_gaps == 1
