@@ -1,0 +1,38 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+First-class engine components alongside the validation checks: at 100 TB a
+transcripts/documents corpus needs dedup, similarity search, text quality
+metrics and multimodal plumbing before any validation verdict is useful.
+
+All hot paths are built-in Column expressions (JVM, whole-stage codegen);
+Python appears only in Arrow-batched pandas UDFs where semantics demand it
+(multimodal decode stubs)."""
+
+from pacts_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
+from pacts_spark.datapipe.textstats import (
+    doc_fingerprint,
+    language_id,
+    text_stats,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "doc_fingerprint",
+    "language_id",
+    "text_stats",
+]

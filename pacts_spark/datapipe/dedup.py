@@ -1,0 +1,288 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of each variant):
+
+- exact:   one groupBy on a 128-bit content hash — the shuffle carries
+           (hash, id), never text. O(N) and skew-free (hashes uniform).
+- jaccard: exact pairwise similarity is O(N²); we bound it by joining on
+           SHARED SHINGLES (inverted index) so only pairs with ≥1 common
+           shingle are scored — the standard candidate-generation trick.
+           Hot shingles (stopword-ish) are capped by document frequency to
+           keep the join from exploding (df_cap).
+- minhash: constant-size signatures (k mins) + banded LSH: pairs collide
+           iff a band matches, turning O(N²) into O(N·bands) shuffle. All
+           signature math is Column expressions over xxhash64 — no Python.
+- simhash: 64-bit fingerprint whose Hamming distance tracks cosine
+           similarity of token sets; near-dup candidates = identical
+           16-bit chunks (4-chunk blocking, Hamming ≤ 3 guarantee).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. With a, b, h < 2^31,
+# a*h + b < 2^62 stays inside a signed 64-bit long (ANSI overflow-safe).
+_P = (1 << 31) - 1
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokenization — deterministic, locale-free."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array<string> (built-ins only:
+    sequence + transform + array_join over a token slice)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingle = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, canonical_id = min id,
+    dup_count, ids). Only hash+id shuffle; text never moves."""
+    h = df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact Jaccard over n-word shingles for candidate pairs sharing ≥1
+    shingle. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``df_cap`` drops shingles appearing in more than that many docs before
+    the self-join (stopword shingles generate quadratic candidates while
+    contributing little discrimination) — at web scale this cap is what
+    keeps the inverted index join linear-ish.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_kept = sh.join(
+        F.broadcast(freq.filter(F.col("df") <= df_cap).select("shingle")), "shingle"
+    )
+
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ja = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sz_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sz_b")), "id_b")
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        ja.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal hashes (a*h+b) mod P."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>[k]) — min of k universal hashes over the
+    document's shingle set. Pure Column math: xxhash64 per shingle, then
+    array_min over a transform per hash function; no shuffle at all (a
+    single projection)."""
+    coeffs = _hash_coeffs(k, seed)
+    base = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    )
+
+    def perm(a: int, b: int):
+        # single-arg lambda (PySpark treats arity-2 lambdas as (elem, idx))
+        return F.array_min(F.transform(base, lambda h: F.pmod(h * a + b, F.lit(_P))))
+
+    sig = F.array(*[perm(a, b) for a, b in coeffs])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs colliding on any band become a candidate pair.
+    Shuffle key = (band_idx, band_hash) — uniform by construction; the
+    per-bucket pair expansion is quadratic only within a bucket, and
+    buckets are tiny for any reasonable threshold."""
+    assert bands * rows_per_band <= 1024
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures → banded candidates → verify
+    with estimated Jaccard (fraction of equal signature slots). Returns
+    (id_a, id_b, est_jaccard ≥ threshold)."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).cache()
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    eq = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = eq / F.lit(float(k))
+    return (
+        j.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
+    sum over tokens of (+1 if token-hash bit j else -1). Pure Column
+    expressions (aggregate over the token array, 64 shiftright/bit tests
+    folded into one projection)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(j) for j in range(64)]
+    fp = None
+    for j, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the four 16-bit chunks (any pair
+    within Hamming ≤ 3 shares at least one identical chunk — pigeonhole),
+    verify exact Hamming distance with bit_count."""
+    fps = simhash64(df, text_col, id_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk_idx", "cc.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,98 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so DECODE IS STUBBED — the
+Spark-side plumbing (schema, Arrow batch shape, mapInPandas iterator
+contract, partition sizing) is real and tested; swap ``_decode_stub`` for
+a pillow/torchaudio call in production.
+
+Design: decode/feature-extract runs in ``mapInPandas`` so one Python
+worker processes a whole Arrow batch of binary blobs at once; batch size
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in
+session.py) so blob batches fit executor memory. Metadata stays in typed
+columns so filters on (modality, width, duration) prune BEFORE any decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),   # opaque encoded bytes
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),    # image/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),  # audio/video
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes int, sha256 string, "
+    "feature array<float>"
+)
+
+
+def _decode_stub(blob: bytes, modality: str, dim: int = 8) -> np.ndarray:
+    """Deterministic fake decode/feature-extract: sha256 → fixed-dim float
+    vector in [0,1). Replace with a real decoder in production.
+
+    raise NotImplementedError here if a hard failure is preferred over the
+    deterministic fake.
+    """
+    h = hashlib.sha256(modality.encode() + (blob or b"")).digest()
+    return np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32) / np.float32(
+        2**32
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas decode + feature extraction over Arrow batches.
+
+    One iterator call per Arrow batch (NOT per row); per-batch vectorized
+    post-processing. The output schema is fixed so downstream joins/ANN
+    over ``feature`` are planneable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(c, m, dim).tolist()
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "sha256": [
+                        hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (media_id, frame_ts_ms)
+    the decoder should materialize — pure Column math (sequence over
+    duration), so the expensive decode fan-out is planned and partitioned
+    by Spark before any codec runs."""
+    from pyspark.sql import functions as F
+
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return (
+        df.filter(F.col("modality") == "video")
+        .select("media_id", F.explode(frames).alias("frame_ts_ms"))
+    )

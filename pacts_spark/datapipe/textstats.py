@@ -1,0 +1,99 @@
+"""Text analysis: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything here is a single fused projection of built-in string/array
+expressions — no UDFs, no shuffle; at 100 TB these run at parquet-scan
+speed inside whole-stage codegen. Counting tricks avoid regex where an
+arithmetic identity exists (token count = space count + 1) so the DuckDB
+oracle reproduces results exactly with no regex-dialect risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic —
+# deterministic and reproducible in ANSI SQL (no model, no library)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "es", "y"],
+    "de": ["der", "die", "und", "ist"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def _n_tokens(text: Column) -> Column:
+    """Whitespace token count via the space-count identity (exact, regex-free)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc: n_chars, n_tokens, n_unique_tokens, type-token ratio,
+    mean token length, quality_score ∈ [0,1] (simple lexical-diversity ×
+    length heuristic — the shape of a real quality model's plumbing)."""
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, " ")
+    n_tok = _n_tokens(F.col(text_col))
+    n_uniq = F.size(F.array_distinct(toks))
+    ttr = F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0, (F.length(t) - (n_tok - 1)) / n_tok
+    ).otherwise(F.lit(0.0))
+    quality = F.least(F.lit(1.0), ttr * F.least(n_tok / F.lit(50.0), F.lit(1.0)))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language heuristic: score per language = number of its
+    marker words present (padded-space containment — exact, regex-free);
+    argmax with deterministic tie-break on language code; 'und' if no
+    marker hits."""
+    padded = F.concat(F.lit(" "), F.trim(F.col(text_col)), F.lit(" "))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        score = None
+        for m in LANG_MARKERS[lang]:
+            hit = F.when(padded.contains(f" {m} "), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        scores.append((lang, score))
+    # argmax via greatest-struct trick: pack (score, tie-break, lang), take
+    # max — ties resolve to the alphabetically-first language (tie = -i)
+    packed = F.greatest(
+        *[
+            F.struct(
+                score.alias("s"), F.lit(-i).alias("tie"), F.lit(lang).alias("lang")
+            )
+            for i, (lang, score) in enumerate(scores)
+        ]
+    )
+    pred = F.when(packed.getField("s") > 0, packed.getField("lang")).otherwise(
+        F.lit("und")
+    )
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Regex '\\s+' behaves identically in Spark (Java regex) and DuckDB
+    (RE2) for this pattern."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,140 @@
+"""Dedup / similarity / textstats / multimodal tests with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pacts_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
+from pacts_spark.datapipe.textstats import doc_fingerprint, language_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (4, "completely different content about spark engines"),
+        (5, "  the   quick  brown fox jumps over the lazy dog "),    # ws-normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == 1 and out[0].ids == [1, 2]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs → identical signatures
+    assert (1, 3) in pairs       # near dup must be found
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash(docs):
+    fp = {r.id: r.simhash for r in simhash64(docs).collect()}
+    assert fp[1] == fp[2]
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert near[(1, 2)] == 0
+    assert (1, 3) in near and near[(1, 3)] <= 10
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),  # closest to 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nn = {r.vec_id: r.nn_id for r in cosine_topk(df, k=1).collect()}
+    assert nn[1] == 2 and nn[2] == 1 and nn[3] == 4 and nn[4] == 3
+
+
+def test_lsh_ann_recall(spark):
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(200).cache()
+    dim = len(emb.first().embedding)
+    exact = {r.vec_id: r.nn_id for r in cosine_topk(emb, k=1).collect()}
+    approx = {
+        r.vec_id: r.nn_id
+        for r in lsh_ann_topk(emb, dim=dim, k=1, n_planes=16, bands=8).collect()
+    }
+    hits = sum(1 for v, nn in exact.items() if approx.get(v) == nn)
+    assert hits / len(exact) > 0.5  # blocked ANN finds most true NNs
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "a b a"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in text_stats(df).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_unique_tokens == 2
+    assert out[1].ttr == round(2 / 3, 6)
+    assert out[2].n_tokens == 0 and out[2].quality_score == 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "le chat et la mer est bleue"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "und"
+
+
+def test_doc_fingerprint_normalizes(docs):
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert fp[1] == fp[5]  # whitespace-normalized
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_features(spark):
+    from pacts_spark.datapipe.multimodal import MEDIA_SCHEMA, extract_features, frame_sample_plan
+
+    rows = [
+        (1, "image", b"\x89PNGfake", "image/png", 64, 64, None),
+        (2, "audio", b"RIFFfake", "audio/wav", None, None, 2500),
+        (3, "video", b"ftypfake", "video/mp4", 640, 480, 3000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df, dim=8).collect()
+    assert len(feats) == 3
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same blob → same feature
+    feats2 = extract_features(df, dim=8).collect()
+    assert [r.feature for r in feats] == [r.feature for r in feats2]
+    plan = frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r.media_id, r.frame_ts_ms) for r in plan] == [(3, 0), (3, 1000), (3, 2000)]
