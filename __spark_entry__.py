@@ -1,38 +1,676 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The engine's primary input shape is the BASELINE.json transcripts table
+``(conv_id, turn_idx, role, text, tool, ts)``. Since the DuckDB side only
+sees the pre-registered testdata views, the transcripts table is DERIVED
+from ``events`` by the canonical deterministic mapping below — implemented
+identically in Spark (pacts_spark.transcripts.transcripts_from_events) and
+in SQL (TRANSCRIPTS_SQL) — so every validation check gets full oracle
+coverage. The derivation deliberately injects violations (null text,
+duplicate turn_idx, orphan conv/tool) so checks return non-empty results.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pacts_spark.checks import (
+    category_histogram,
+    column_stats,
+    drift_scores,
+    duplicate_keys,
+    gap_quantiles,
+    ri_violations,
+    uniqueness_violations,
+)
+from pacts_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
+from pacts_spark.datapipe.textstats import doc_fingerprint, language_id, text_stats
+from pacts_spark.engine import PactsEngine
+from pacts_spark.registry import SchemaRegistry
+from pacts_spark.runner import ValidationRun, day_part
+from pacts_spark.transcripts import (
+    conversations_dim,
+    tools_dim,
+    transcripts_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# canonical transcripts derivation — MUST stay byte-equivalent to
+# pacts_spark.transcripts.transcripts_from_events
+# ---------------------------------------------------------------------------
+
+TRANSCRIPTS_SQL = """
+SELECT
+  'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+  CAST(CASE WHEN event_id % 97 = 0 THEN 1
+       ELSE row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       END AS INTEGER) AS turn_idx,
+  CASE event_type WHEN 'signup' THEN 'system'
+                  WHEN 'view' THEN 'user'
+                  WHEN 'error' THEN 'tool'
+                  ELSE 'assistant' END AS role,
+  NULLIF(props, '{"k": 0}') AS text,
+  CASE WHEN event_type = 'error'
+       THEN 'tool-' || CAST(event_id % 7 AS VARCHAR) END AS tool,
+  ts AS ts
+FROM events
+"""
+
+CONVS_SQL = """
+SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id
+FROM events WHERE user_id % 29 <> 7
+"""
+
+TOOLS_IN = "('tool-0', 'tool-1', 'tool-2', 'tool-3', 'tool-4')"
+
+ORDERS_CHECK_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "o_orderkey": {"type": "integer"},
+        "o_orderstatus": {"type": "string", "enum": ["O", "F"]},
+        "o_totalprice": {"type": "integer"},
+    },
+    "required": ["o_orderkey", "o_custkey", "o_clerk"],
+}
+
+PROPS_CHECK_SCHEMA = {
+    "type": "object",
+    "properties": {"k": {"type": "integer"}},
+    "required": ["k", "v"],
+}
+
+
+def _registry() -> SchemaRegistry:
+    reg = SchemaRegistry(domain="bees", version="v1", schema_root=REPO / "schemas")
+    reg.load_dir(REPO / "schemas")
+    reg.put("tpch", "orders_check", ORDERS_CHECK_SCHEMA)
+    reg.put("events", "props_check", PROPS_CHECK_SCHEMA)
+    return reg
+
+
+def _engine() -> PactsEngine:
+    return PactsEngine(_registry())
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(_load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation run over the derived transcripts table —
+    row-level schema checks + uniqueness + referential integrity, returning
+    the exploded violations table under stable (conv_id, turn_idx) order."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _load(spark, sf_dir, "events")
+    t = transcripts_from_events(events)
+    run = ValidationRun(_engine())
+    res = run.run(
+        spark,
+        t,
+        conversations=conversations_dim(events),
+        tools=tools_dim(spark),
+    )
+    return res.violations
+
+
+# ---------------------------------------------------------------------------
+# queries + oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return _engine().validate_data(t, "transcripts", "turn").select(
+        "conv_id", "turn_idx", "valid", "error_message"
+    )
+
+
+def _q_transcript_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    t = transcripts_from_events(events)
+    eng = _engine()
+    validated = eng.validate_data(t, "transcripts", "turn")
+    row_viol = (
+        validated.filter(F.size("errors") > 0)
+        .select("conv_id", "turn_idx", F.explode("errors").alias("violation"))
+        .withColumn("check_name", F.lit("schema"))
+    )
+    uniq = uniqueness_violations(t, ["conv_id", "turn_idx"], salt_col="text").select(
+        "conv_id", "turn_idx", F.lit("uniqueness").alias("check_name"), "violation"
+    )
+    ri_conv = ri_violations(t, conversations_dim(events), "conv_id").select(
+        "conv_id", "turn_idx", F.lit("referential_conv").alias("check_name"), "violation"
+    )
+    ri_tool = ri_violations(t, tools_dim(spark), "tool").select(
+        "conv_id", "turn_idx", F.lit("referential_tool").alias("check_name"), "violation"
+    )
+    return (
+        row_viol.select("conv_id", "turn_idx", "check_name", "violation")
+        .unionByName(uniq)
+        .unionByName(ri_conv)
+        .unionByName(ri_tool)
+    )
+
+
+_VIOLATIONS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}), convs AS ({CONVS_SQL}),
+dups AS (
+  SELECT conv_id, turn_idx, count(*) AS cnt FROM t
+  GROUP BY conv_id, turn_idx HAVING count(*) > 1
+)
+SELECT conv_id, turn_idx, 'schema' AS check_name,
+       'Required field missing: text' AS violation
+FROM t WHERE text IS NULL
+UNION ALL
+SELECT t.conv_id, t.turn_idx, 'uniqueness',
+       'Duplicate key: (conv_id=' || t.conv_id || ', turn_idx=' ||
+       CAST(t.turn_idx AS VARCHAR) || ') appears ' ||
+       CAST(d.cnt AS VARCHAR) || ' times'
+FROM t JOIN dups d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+UNION ALL
+SELECT conv_id, turn_idx, 'referential_conv',
+       'Referential violation: conv_id=' || conv_id || ' not in dimension'
+FROM t WHERE conv_id NOT IN (SELECT conv_id FROM convs)
+UNION ALL
+SELECT conv_id, turn_idx, 'referential_tool',
+       'Referential violation: tool=' || tool || ' not in dimension'
+FROM t WHERE tool IS NOT NULL AND tool NOT IN {TOOLS_IN}
+"""
+
+
+def _q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    t = transcripts_from_events(events)
+    run = ValidationRun(_engine())
+    res = run.run(
+        spark, t, conversations=conversations_dim(events), tools=tools_dim(spark)
+    )
+    return res.verdicts
+
+
+_VERDICTS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}), convs AS ({CONVS_SQL}),
+tp AS (SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS part FROM t),
+dups AS (
+  SELECT conv_id, turn_idx FROM t GROUP BY conv_id, turn_idx HAVING count(*) > 1
+),
+checks AS (
+  SELECT part, count(*) AS n_check FROM (
+    SELECT tp.part FROM tp JOIN dups d
+      ON tp.conv_id = d.conv_id AND tp.turn_idx = d.turn_idx
+    UNION ALL
+    SELECT part FROM tp WHERE conv_id NOT IN (SELECT conv_id FROM convs)
+    UNION ALL
+    SELECT part FROM tp WHERE tool IS NOT NULL AND tool NOT IN {TOOLS_IN}
+  ) GROUP BY part
+),
+rowv AS (
+  SELECT part,
+         count(*) AS n_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_invalid_rows,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_schema_viol
+  FROM tp GROUP BY part
+)
+SELECT r.part,
+       (r.n_schema_viol + coalesce(c.n_check, 0) = 0) AS "pass",
+       CAST(r.n_schema_viol + coalesce(c.n_check, 0) AS BIGINT) AS n_violations,
+       CAST(r.n_invalid_rows AS BIGINT) AS n_invalid_rows,
+       CAST(r.n_rows AS BIGINT) AS n_rows
+FROM rowv r LEFT JOIN checks c ON r.part = c.part
+"""
+
+
+def _q_colstats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return column_stats(
+        t, ["conv_id", "turn_idx", "role", "text", "tool"], exact_distinct=True
+    ).withColumnRenamed("column", "col_name")
+
+
+def _colstats_sql(table_expr: str, cols: list[str]) -> str:
+    pieces = []
+    for c in cols:
+        pieces.append(f"""
+SELECT '__all__' AS part, '{c}' AS col_name,
+       count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_rate,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM src""")
+    return f"WITH src AS ({table_expr})" + " UNION ALL ".join(pieces)
+
+
+def _q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return column_stats(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+        exact_distinct=True,
+    ).withColumnRenamed("column", "col_name")
+
+
+def _q_role_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return category_histogram(t, "role", day_part())
+
+
+_ROLE_HIST_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+       coalesce(role, '__null__') AS category,
+       count(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+def _q_drift_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    cur = category_histogram(t, "role", day_part())
+    base = category_histogram(t, "role")
+    return drift_scores(cur, base)
+
+
+_DRIFT_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+cur AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+         coalesce(role, '__null__') AS category, count(*) AS n
+  FROM t GROUP BY 1, 2
+),
+base AS (SELECT coalesce(role, '__null__') AS category, count(*) AS m FROM t GROUP BY 1),
+domain AS (
+  SELECT p.part, b.category FROM (SELECT DISTINCT part FROM cur) p, base b
+  UNION
+  SELECT part, category FROM cur
+),
+j AS (
+  SELECT d.part, d.category, coalesce(cur.n, 0) AS n, coalesce(base.m, 0) AS m
+  FROM domain d
+  LEFT JOIN cur ON d.part = cur.part AND d.category = cur.category
+  LEFT JOIN base ON d.category = base.category
+),
+tot AS (
+  SELECT part, sum(n) AS tot_n, sum(m) AS tot_m, count(*) AS n_cats
+  FROM j GROUP BY part
+)
+SELECT j.part,
+       round(sum(((j.n + 1.0) / (t2.tot_n + t2.n_cats)) *
+                 ln(((j.n + 1.0) / (t2.tot_n + t2.n_cats)) /
+                    ((j.m + 1.0) / (t2.tot_m + t2.n_cats)))), 6) AS kl_divergence,
+       round(sum((j.n - ((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n) *
+                 (j.n - ((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n) /
+                 (((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n)), 6) AS chi_squared,
+       max(t2.n_cats) AS n_categories
+FROM j JOIN tot t2 ON j.part = t2.part
+GROUP BY j.part
+"""
+
+
+def _q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    g = gap_quantiles(t, partition_col=day_part(), exact=True)
+    return g.select(
+        "part", "p50", "p90", "p99",
+        F.round("min_gap", 6).alias("min_gap"),
+        F.round("max_gap", 6).alias("max_gap"),
+        "n_negative_gaps", "n_gaps",
+    )
+
+
+_GAPS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+g AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_seconds
+  FROM t
+)
+SELECT part,
+       round(quantile_cont(gap_seconds, 0.5), 6) AS p50,
+       round(quantile_cont(gap_seconds, 0.9), 6) AS p90,
+       round(quantile_cont(gap_seconds, 0.99), 6) AS p99,
+       round(min(gap_seconds), 6) AS min_gap,
+       round(max(gap_seconds), 6) AS max_gap,
+       sum(CASE WHEN gap_seconds < 0 THEN 1 ELSE 0 END) AS n_negative_gaps,
+       count(gap_seconds) AS n_gaps
+FROM g WHERE gap_seconds IS NOT NULL
+GROUP BY part
+"""
+
+
+def _q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return _engine().validate_data(orders, "tpch", "orders_check").select(
+        "o_orderkey", "valid", "error_message"
+    )
+
+
+_VALIDATE_ORDERS_SQL = """
+SELECT o_orderkey,
+       FALSE AS valid,
+       concat_ws('; ',
+         CASE WHEN o_orderkey IS NULL THEN 'Required field missing: o_orderkey' END,
+         CASE WHEN o_custkey IS NULL THEN 'Required field missing: o_custkey' END,
+         'Required field missing: o_clerk',
+         CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+              THEN 'Invalid value for field ''o_orderstatus''. Expected one of: O, F' END,
+         CASE WHEN o_totalprice IS NOT NULL
+              THEN 'Invalid type for field ''o_totalprice''. Expected: integer' END
+       ) AS error_message
+FROM orders
+"""
+
+
+def _q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return _engine().validate_data(ev, "events", "props_check", json_col="props").select(
+        "event_id", "valid", "error_message"
+    )
+
+
+_VALIDATE_EVENTS_JSON_SQL = """
+SELECT event_id, FALSE AS valid,
+       'Required field missing: v' AS error_message
+FROM events
+"""
+
+
+def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"], salt_col="l_partkey")
+
+
+_UNIQ_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def _q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    return ri_violations(
+        orders, cust, "o_custkey", "c_custkey",
+        select_cols=["o_orderkey", "o_custkey"],
+    )
+
+
+_RI_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey,
+       'Referential violation: o_custkey=' || CAST(o_custkey AS VARCHAR) ||
+       ' not in dimension' AS violation
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("content_hash", "canonical_id", "dup_count")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_load(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
+
+
+_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[u.i:u.i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+kept AS (
+  SELECT sh.id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100) f
+    USING (shingle)
+),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+"""
+
+
+def _q_textstats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_load(spark, sf_dir, "documents"))
+
+
+_TEXTSTATS_SQL = """
+WITH s AS (
+  SELECT doc_id, text, trim(text) AS t,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       n_tok AS n_tokens,
+       len(list_distinct(string_split(t, ' '))) AS n_unique_tokens,
+       round(CASE WHEN n_tok > 0
+                  THEN len(list_distinct(string_split(t, ' '))) / n_tok
+                  ELSE 0.0 END, 6) AS ttr,
+       round(CASE WHEN n_tok > 0
+                  THEN (length(t) - (n_tok - 1)) / n_tok
+                  ELSE 0.0 END, 6) AS mean_token_len,
+       round(least(1.0,
+         (CASE WHEN n_tok > 0
+               THEN len(list_distinct(string_split(t, ' '))) / n_tok
+               ELSE 0.0 END) * least(n_tok / 50.0, 1.0)), 6) AS quality_score
+FROM s
+"""
+
+
+def _q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANGID_SQL = """
+WITH s AS (
+  SELECT lang, ' ' || trim(text) || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT lang,
+    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END) AS s_es,
+    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+    (CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END) AS s_zh
+  FROM s
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+def _q_cosine_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=1).select("vec_id", "nn_id")
+
+
+_COSINE_NN_SQL = """
+SELECT vec_id, nn_id FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+           b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn = 1
+"""
+
+
+# -- rows-only entries (no SQL-expressible oracle: sketch/LSH internals) ----
+
+
+def _q_minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, k=64, bands=16, threshold=0.5)
+
+
+def _q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
+def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_ann_topk(emb, dim=dim, k=1, n_planes=16, bands=8).select(
+        "vec_id", "nn_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation core (reference semantics)
+        "validate_transcripts": _q_validate_transcripts,
+        "transcript_violations": _q_transcript_violations,
+        "partition_verdicts": _q_partition_verdicts,
+        "validate_orders": _q_validate_orders,
+        "validate_events_json": _q_validate_events_json,
+        # engine-level checks (north_star)
+        "colstats_transcripts": _q_colstats_transcripts,
+        "colstats_lineitem": _q_colstats_lineitem,
+        "role_histogram": _q_role_histogram,
+        "drift_roles": _q_drift_roles,
+        "gap_quantiles": _q_gap_quantiles,
+        "uniqueness_lineitem": _q_uniqueness_lineitem,
+        "ri_orders_customer": _q_ri_orders_customer,
+        # training-data pipeline
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
+        "textstats_documents": _q_textstats_documents,
+        "langid_documents": _q_langid_documents,
+        "cosine_nn_embeddings": _q_cosine_nn_embeddings,
+        # rows-only (sketch/LSH — no SQL oracle)
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "simhash_pairs_documents": _q_simhash_pairs_documents,
+        "ann_nn_embeddings": _q_ann_nn_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t = TRANSCRIPTS_SQL
+    return {
+        "validate_transcripts": f"""
+WITH t AS ({t})
+SELECT conv_id, turn_idx,
+       text IS NOT NULL AS valid,
+       CASE WHEN text IS NULL THEN 'Required field missing: text'
+            ELSE 'Validation successful' END AS error_message
+FROM t
+""",
+        "transcript_violations": _VIOLATIONS_SQL,
+        "partition_verdicts": _VERDICTS_SQL,
+        "validate_orders": _VALIDATE_ORDERS_SQL,
+        "validate_events_json": _VALIDATE_EVENTS_JSON_SQL,
+        "colstats_transcripts": _colstats_sql(
+            t, ["conv_id", "turn_idx", "role", "text", "tool"]
+        ),
+        "colstats_lineitem": _colstats_sql(
+            "SELECT * FROM lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"],
+        ),
+        "role_histogram": _ROLE_HIST_SQL,
+        "drift_roles": _DRIFT_SQL,
+        "gap_quantiles": _GAPS_SQL,
+        "uniqueness_lineitem": _UNIQ_LINEITEM_SQL,
+        "ri_orders_customer": _RI_ORDERS_SQL,
+        "dedup_exact_documents": _DEDUP_EXACT_SQL,
+        "fingerprint_documents": _FINGERPRINT_SQL,
+        "jaccard_pairs_documents": _JACCARD_SQL,
+        "textstats_documents": _TEXTSTATS_SQL,
+        "langid_documents": _LANGID_SQL,
+        "cosine_nn_embeddings": _COSINE_NN_SQL,
+    }

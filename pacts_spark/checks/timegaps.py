@@ -30,10 +30,11 @@ def ts_gaps(
     first turn of each conversation has NULL gap."""
     w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    return df.withColumn(
-        "gap_seconds",
-        (F.unix_timestamp(ts_col) - F.unix_timestamp(prev)).cast("double"),
-    )
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates);
+    # NTZ → TIMESTAMP first (session tz is UTC, so the epoch matches
+    # DuckDB's epoch() on the same NTZ value)
+    as_sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    return df.withColumn("gap_seconds", as_sec(F.col(ts_col)) - as_sec(prev))
 
 
 def gap_quantiles(

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # cast elements BEFORE multiplying: float32*float32 then cast loses
+    # precision vs double math and breaks cross-engine argmax parity
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -33,7 +35,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
