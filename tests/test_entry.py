@@ -1,0 +1,29 @@
+"""Smoke tests of the driver contract module."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == ["conv_id", "turn_idx", "part", "check_name", "violation"] or (
+        "violation" in df.columns
+    )
+    assert len(rows) > 0
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracled query has a non-empty SQL string
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+    # rows-only entries are the sketch/LSH ones only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "minhash_pairs_documents",
+        "simhash_pairs_documents",
+        "ann_nn_embeddings",
+    }
