@@ -1,0 +1,85 @@
+"""SchemaRegistry tests: path rule, zip bundles, cache, version parse
+(SchemaLoader.java:81-259 / schema_loader.rs:59-208 parity choices)."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+
+from pacts_spark.registry import SchemaRegistry
+
+
+def _schema(req):
+    return {"type": "object", "properties": {}, "required": req}
+
+
+def test_load_dir_path_rule(tmp_path):
+    root = tmp_path / "schemas"
+    p = root / "bees" / "v1" / "cat" / "thing.json"
+    p.parent.mkdir(parents=True)
+    p.write_text(json.dumps(_schema(["a"])))
+    # deeper nesting: only last 3 segments + stem matter (SchemaLoader.java:179-190)
+    q = root / "extra" / "depth" / "bees" / "v2" / "cat2" / "other.json"
+    q.parent.mkdir(parents=True)
+    q.write_text(json.dumps(_schema(["b"])))
+
+    reg = SchemaRegistry(domain="bees", version="v1")
+    n = reg.load_dir(root)
+    assert n == 2
+    assert reg.load_schema("cat", "thing") == _schema(["a"])
+    reg2 = SchemaRegistry(domain="bees", version="v2")
+    reg2.load_dir(root)
+    assert reg2.load_schema("cat2", "other") == _schema(["b"])
+
+
+def test_load_zip_bundle(tmp_path):
+    z = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("release/bees/v1/player/player_request.json", json.dumps(_schema(["x"])))
+        zf.writestr("release/readme.txt", "ignore me")
+        zf.writestr("shallow.json", "{}")  # <4 segments → skipped
+    reg = SchemaRegistry()
+    assert reg.load_zip(z) == 1
+    assert reg.load_schema("player", "player_request") == _schema(["x"])
+
+
+def test_load_sources_first_wins(tmp_path):
+    a = tmp_path / "a"
+    (a / "bees" / "v1" / "c").mkdir(parents=True)
+    (a / "bees" / "v1" / "c" / "n.json").write_text(json.dumps(_schema(["from_a"])))
+    b = tmp_path / "b"
+    (b / "bees" / "v1" / "c").mkdir(parents=True)
+    (b / "bees" / "v1" / "c" / "n.json").write_text(json.dumps(_schema(["from_b"])))
+    reg = SchemaRegistry()
+    reg.load_sources([tmp_path / "missing.zip", a, b])
+    assert reg.load_schema("c", "n") == _schema(["from_a"])  # first success wins
+
+
+def test_lazy_disk_fallback_and_cache_clear(tmp_path):
+    root = tmp_path / "schemas"
+    p = root / "bees" / "v1" / "cat" / "lazy.json"
+    p.parent.mkdir(parents=True)
+    p.write_text(json.dumps(_schema(["z"])))
+    reg = SchemaRegistry(schema_root=root)
+    assert reg.load_schema("cat", "lazy") == _schema(["z"])  # disk miss → load
+    assert reg.cached_keys() == ["bees/v1/cat/lazy"]
+    reg.clear_cache()
+    assert reg.cached_keys() == []
+    assert reg.load_schema("cat", "lazy") is not None  # reloads from disk
+    assert reg.load_schema("cat", "nope") is None  # Java: None, not panic
+
+
+def test_parsed_version():
+    assert SchemaRegistry(version="v1").parsed_version == 1
+    assert SchemaRegistry(version="v42").parsed_version == 42
+    with pytest.raises(ValueError):
+        _ = SchemaRegistry(version="garbage").parsed_version  # Java: raise
+
+
+def test_as_validator_dict():
+    reg = SchemaRegistry(domain="bees", version="v1")
+    reg.put("c", "n", _schema(["q"]))
+    reg._cache["other/v9/c/n"] = _schema(["nope"])
+    assert reg.as_validator_dict() == {"c/n": _schema(["q"])}

@@ -1,16 +1,22 @@
 """Scaling-efficiency evidence for the north_rule criterion.
 
 Runs the identical flagship validation pipeline at two parallelism levels
-(N and 4N local cores) on the same input and reports throughput at both
-plus efficiency = (T_N / T_4N) / 4. Writes BENCH/BASELINE.md.
+(N and 4N local cores) on the same materialized input and reports
+throughput at both plus efficiency = (T_N / T_4N) / 4. Writes
+BENCH/BASELINE.md.
 
-The sf0.1 events table (100k rows) finishes in seconds — fixed overheads
-(plan compile, job scheduling) swamp the measurement and fake poor
-scaling. To make the measurement compute-bound the input is REPLICATED
-deterministically (replica r shifts user_id/event_id so conversations stay
-distinct and the event_id%97 duplicate-injection pattern is preserved) to
-~REPLICAS x 100k turns. Same derived input for both levels; no external
-data.
+Methodology notes (what it takes to make a single-box scaling measurement
+honest):
+- the sf0.1 events table is ONE ~2 MB parquet file → a single scan task;
+  any pipeline over it is serialized at the source. The input is therefore
+  REPLICATED deterministically (replica r shifts user_id/event_id so
+  conversations stay distinct and the event_id%97 duplicate-injection
+  pattern is preserved) and MATERIALIZED once as a 64-file parquet table
+  (what a real table at this volume would look like). Both levels read the
+  same files. No external data.
+- ``local[N]`` bounds task slots, not JVM threads: GC/shuffle/netty pools
+  size to the machine. Each level runs under ``taskset -c 0..cores-1``
+  with ``-XX:ActiveProcessorCount`` so N cores means N cores.
 
 Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas]
        (defaults: sf0.1, N=8, replicas=40 -> 4M turns)
@@ -19,11 +25,33 @@ Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas]
 from __future__ import annotations
 
 import json
+import shutil
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+MATERIALIZE_CODE = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from pacts_spark.session import get_spark
+spark = get_spark(app="materialize", cores=32, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+ev0 = spark.read.parquet("{sf_dir}/events.parquet")
+R = {replicas}
+ev = (
+    ev0.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
+    .withColumn("user_id", F.col("user_id") + F.col("rep").cast("long") * F.lit(1000).cast("long"))
+    .withColumn("event_id", F.col("event_id") + F.col("rep").cast("long") * F.lit(1000000000).cast("long"))
+    .drop("rep")
+)
+ev.repartition(64).write.mode("overwrite").parquet("{input_dir}")
+print("MATERIALIZED", spark.read.parquet("{input_dir}").count())
+spark.stop()
+"""
 
 PIPELINE_CODE = """
 import sys, time, json
@@ -36,17 +64,12 @@ from pacts_spark.engine import PactsEngine
 from pacts_spark.registry import SchemaRegistry
 
 CORES = {cores}
-spark = get_spark(app="scaling", cores=CORES, shuffle_partitions=CORES * 2)
+spark = get_spark(app="scaling", cores=CORES, shuffle_partitions=CORES * 2,
+                  extra={{"spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={cores}"}})
 spark.sparkContext.setLogLevel("ERROR")
 
-ev0 = spark.read.parquet("{sf_dir}/events.parquet")
-R = {replicas}
-ev = (
-    ev0.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
-    .withColumn("user_id", F.col("user_id") + F.col("rep") * 1000)
-    .withColumn("event_id", F.col("event_id") + F.col("rep") * 1000000000)
-    .drop("rep")
-)
+ev = spark.read.parquet("{input_dir}")
 reg = SchemaRegistry(domain="bees", version="v1", schema_root={repo!r} + "/schemas")
 reg.load_dir({repo!r} + "/schemas")
 engine = PactsEngine(reg)
@@ -72,13 +95,12 @@ spark.stop()
 """
 
 
-def run_at(cores: int, sf_dir: str, replicas: int) -> dict:
-    code = PIPELINE_CODE.format(
-        repo=str(REPO), cores=cores, sf_dir=sf_dir, replicas=replicas
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-    )
+def run_at(cores: int, input_dir: str) -> dict:
+    code = PIPELINE_CODE.format(repo=str(REPO), cores=cores, input_dir=input_dir)
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -91,8 +113,21 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 40
-    lo = run_at(n, sf_dir, replicas)
-    hi = run_at(4 * n, sf_dir, replicas)
+
+    input_dir = tempfile.mkdtemp(prefix="scaling_events_") + "/events"
+    mat = subprocess.run(
+        [sys.executable, "-c", MATERIALIZE_CODE.format(
+            repo=str(REPO), sf_dir=sf_dir, replicas=replicas, input_dir=input_dir)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if "MATERIALIZED" not in mat.stdout:
+        raise RuntimeError(f"materialize failed:\n{mat.stdout[-1500:]}\n{mat.stderr[-1500:]}")
+
+    try:
+        lo = run_at(n, input_dir)
+        hi = run_at(4 * n, input_dir)
+    finally:
+        shutil.rmtree(Path(input_dir).parent, ignore_errors=True)
     eff = (lo["sec"] / hi["sec"]) / 4.0
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence (north_rule)
 
@@ -101,15 +136,16 @@ scaling efficiency >= 0.8) cannot use a real cluster in this sandbox; per
 the driver's instruction it is evidenced by running the IDENTICAL flagship
 validation pipeline (row schema checks + salted uniqueness + broadcast
 referential checks + exploded violations + per-partition verdicts over the
-derived transcripts table) at two local parallelism levels on the same
-input.
+derived transcripts table) at two pinned local parallelism levels on the
+same materialized input.
 
 Input: `{sf_dir}` events replicated deterministically x{replicas} =
-{lo['n_turns']:,} turns (replica shift keeps conversations distinct and
-preserves the injected violation patterns; no external data). Timing: best
-of 3 reps after a warm-up rep, fresh JVM per level,
-`spark.sql.shuffle.partitions = 2 x cores` at each level (as a real
-cluster would be tuned).
+{lo['n_turns']:,} turns, materialized as a 64-file parquet table (replica
+shift keeps conversations distinct and preserves the injected violation
+patterns; no external data). Each level runs in a fresh JVM pinned with
+`taskset -c 0..cores-1` and `-XX:ActiveProcessorCount` so N cores means N
+cores; `spark.sql.shuffle.partitions = 2 x cores` per level (as a real
+cluster would be tuned). Timing: best of 3 reps after a warm-up rep.
 
 | parallelism | wall sec | validated turns/sec |
 |---|---|---|
@@ -121,14 +157,13 @@ cluster would be tuned).
 
 Reps: N={lo['reps']}, 4N={hi['reps']}.
 
-Caveats: single-machine "executors" share one memory bus, one page cache
-and one JVM heap, so 4N threads see less than 4x the memory bandwidth a
-real 4N-executor cluster would have — this measurement is a LOWER BOUND on
-cluster scaling for this pipeline. The plan's shuffles all carry
-aggregates (verdicts, histograms, duplicate keys), the dims are broadcast,
-and the dominant cost — the fused row-check projection — is embarrassingly
-parallel over scan partitions, so executor scaling on a real cluster
-tracks scan parallelism by construction.
+Caveats: single-machine "executors" share one memory bus and one page
+cache, so 4N threads see far less than 4x the memory bandwidth a real
+4N-executor cluster would have — for this scan-dominated pipeline the
+number above is a LOWER BOUND on true cluster scaling. The plan itself
+scales by construction: the fused row-check projection is embarrassingly
+parallel over scan partitions, shuffles carry only aggregates (verdicts,
+histograms, duplicate keys), and dims are broadcast.
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.write_text(md)
