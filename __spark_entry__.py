@@ -219,7 +219,7 @@ def _q_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERDICTS_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL}), convs AS ({CONVS_SQL}),
-tp AS (SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS part FROM t),
+tp AS (SELECT *, CAST(ts AS DATE) AS part FROM t),
 dups AS (
   SELECT conv_id, turn_idx FROM t GROUP BY conv_id, turn_idx HAVING count(*) > 1
 ),
@@ -287,7 +287,7 @@ def _q_role_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLE_HIST_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL})
-SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+SELECT CAST(ts AS DATE) AS part,
        coalesce(role, '__null__') AS category,
        count(*) AS n
 FROM t GROUP BY 1, 2
@@ -304,7 +304,7 @@ def _q_drift_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL}),
 cur AS (
-  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+  SELECT CAST(ts AS DATE) AS part,
          coalesce(role, '__null__') AS category, count(*) AS n
   FROM t GROUP BY 1, 2
 ),
@@ -351,7 +351,7 @@ def _q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPS_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL}),
 g AS (
-  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+  SELECT CAST(ts AS DATE) AS part,
          epoch(ts) - lag(epoch(ts)) OVER (
            PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_seconds
   FROM t

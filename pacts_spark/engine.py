@@ -117,9 +117,6 @@ class PactsEngine:
         )
 
         # per-(category,name) schema dispatch, compiled once each
-        data_errs: Column = F.format_string(
-            "Schema not found: %s/%s", cat, nam
-        )
         dispatch: Column | None = None
         for key, schema in sorted(self.registry.as_validator_dict().items()):
             c, n = key.split("/", 1)

@@ -145,6 +145,32 @@ class SchemaRegistry:
                 continue
         return 0
 
+    @staticmethod
+    def load_sources_config(path: str | Path) -> list[str]:
+        """Parse the ``sources:`` URL/path list from a YAML config — the
+        reference's embedded application.yml / sources.yaml
+        (SchemaLoader.java:114-137; schema_loader.rs:124-135). Returns []
+        on missing/empty config (Java warns and falls back)."""
+        import yaml
+
+        p = Path(path)
+        if not p.is_file():
+            return []
+        doc = yaml.safe_load(p.read_text()) or {}
+        if isinstance(doc, dict):
+            # support both flat `sources:` and the reference's
+            # `pacts: schemas: sources:` nesting
+            if "sources" in doc:
+                src = doc["sources"]
+            else:
+                src = (
+                    doc.get("pacts", {}).get("schemas", {}).get("sources")
+                    if isinstance(doc.get("pacts"), dict)
+                    else None
+                )
+            return [str(s) for s in src] if isinstance(src, list) else []
+        return []
+
     def as_validator_dict(self) -> dict[str, dict]:
         """``{category}/{name}`` → schema view for the validator/oracle
         (lookup shape of SchemaLoader.java:81-86) for the registry's own

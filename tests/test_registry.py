@@ -83,3 +83,13 @@ def test_as_validator_dict():
     reg.put("c", "n", _schema(["q"]))
     reg._cache["other/v9/c/n"] = _schema(["nope"])
     assert reg.as_validator_dict() == {"c/n": _schema(["q"])}
+
+
+def test_load_sources_config(tmp_path):
+    y = tmp_path / "sources.yaml"
+    y.write_text("sources:\n  - /bundles/a.zip\n  - /bundles/b\n")
+    assert SchemaRegistry.load_sources_config(y) == ["/bundles/a.zip", "/bundles/b"]
+    y2 = tmp_path / "application.yml"
+    y2.write_text("pacts:\n  schemas:\n    sources:\n      - http://example/x.zip\n")
+    assert SchemaRegistry.load_sources_config(y2) == ["http://example/x.zip"]
+    assert SchemaRegistry.load_sources_config(tmp_path / "missing.yml") == []

@@ -100,3 +100,27 @@ def test_manifest_latest_seq_wins(spark, tmp_path):
     verd2 = verd.withColumn("pass", F.lit(True))
     m.record(verd2, run_id="b", seq=2)
     assert {r.part for r in m.validated_parts(spark).collect()} == {"2025-01-01"}
+
+
+def test_run_and_write(spark, engine, transcripts, tmp_path):
+    from pacts_spark.transcripts import tools_dim
+
+    run = ValidationRun(engine, manifest=ValidationManifest(tmp_path / "m3"))
+    out = run.run_and_write(
+        spark, transcripts, str(tmp_path / "out"), tools=tools_dim(spark),
+        run_id="rw-1", seq=1,
+    )
+    vio = spark.read.parquet(out["violations_path"])
+    verd = spark.read.parquet(out["verdicts_path"])
+    assert vio.count() > 0
+    assert set(verd.columns) == {"part", "n_rows", "n_violations", "n_invalid_rows", "pass"}
+    # verdict totals must agree with the written violations
+    tot_v = verd.agg(F.sum("n_violations")).collect()[0][0]
+    assert tot_v == vio.count()
+    # equivalence with the lazy run(): same per-part violation counts
+    res = ValidationRun(engine).run(spark, transcripts, tools=tools_dim(spark))
+    lazy_counts = {
+        str(r.part): r.n_violations for r in res.verdicts.collect()
+    }
+    written_counts = {str(r.part): r.n_violations for r in verd.collect()}
+    assert lazy_counts == written_counts

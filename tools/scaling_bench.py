@@ -64,9 +64,7 @@ from pacts_spark.engine import PactsEngine
 from pacts_spark.registry import SchemaRegistry
 
 CORES = {cores}
-spark = get_spark(app="scaling", cores=CORES, shuffle_partitions=CORES * 2,
-                  extra={{"spark.driver.extraJavaOptions":
-                          f"-XX:ActiveProcessorCount={cores}"}})
+spark = get_spark(app="scaling", cores=CORES, shuffle_partitions=CORES * 2)
 spark.sparkContext.setLogLevel("ERROR")
 
 ev = spark.read.parquet("{input_dir}")
@@ -82,6 +80,8 @@ def pipeline():
     res = ValidationRun(engine).run(spark, t, conversations=convs, tools=tools)
     res.verdicts.collect()
     res.violations.count()
+    if "input" in res.extras:
+        res.extras["input"].unpersist()
 
 pipeline()  # warm-up: JIT, codegen, page cache
 times = []
@@ -97,9 +97,12 @@ spark.stop()
 
 def run_at(cores: int, input_dir: str) -> dict:
     code = PIPELINE_CODE.format(repo=str(REPO), cores=cores, input_dir=input_dir)
+    # no taskset pinning: with task threads + GC + netty sharing 8 HW
+    # threads the pinned JVM degrades far beyond the 8/32 ratio (measured
+    # >5x), which UNDER-estimates N-level throughput and fakes superlinear
+    # scaling; the standard local[N] comparison leaves JVM service threads
+    # unpinned at both levels so they cancel out
     cmd = [sys.executable, "-c", code]
-    if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -142,10 +145,13 @@ same materialized input.
 Input: `{sf_dir}` events replicated deterministically x{replicas} =
 {lo['n_turns']:,} turns, materialized as a 64-file parquet table (replica
 shift keeps conversations distinct and preserves the injected violation
-patterns; no external data). Each level runs in a fresh JVM pinned with
-`taskset -c 0..cores-1` and `-XX:ActiveProcessorCount` so N cores means N
-cores; `spark.sql.shuffle.partitions = 2 x cores` per level (as a real
-cluster would be tuned). Timing: best of 3 reps after a warm-up rep.
+patterns; no external data). Each level runs in a fresh JVM
+(`local[N]` task slots; JVM service threads unpinned at both levels so
+they cancel out); `spark.sql.shuffle.partitions = 2 x cores` per level
+(as a real cluster would be tuned). Timing: best of 3 reps after a
+warm-up rep. The derived transcripts are persisted once per rep so the
+run's several actions (violations, verdicts) don't recompute the input —
+on a real cluster the materialized Iceberg table plays that role.
 
 | parallelism | wall sec | validated turns/sec |
 |---|---|---|
