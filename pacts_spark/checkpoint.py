@@ -67,7 +67,9 @@ class ValidationManifest:
         pruning at the scan (``WHERE part NOT IN (...)`` over partition
         metadata — no data files of validated partitions are even opened)."""
         done = F.broadcast(self.validated_parts(spark))
-        tagged = df.withColumn("__part", part_expr)
+        # manifest parts are strings; normalize the tag so DATE-typed
+        # partition expressions join correctly
+        tagged = df.withColumn("__part", part_expr.cast("string"))
         return (
             tagged.join(done, tagged["__part"] == done["part"], "left_anti")
             .drop("__part")

@@ -55,12 +55,12 @@ def test_violations_are_ordered_and_exact(spark, engine, transcripts):
 
 def test_resume_skips_validated_partitions(spark, engine, transcripts, tmp_path):
     manifest = ValidationManifest(tmp_path / "manifest")
-    parts = [r.p for r in transcripts.select(day_part().alias("p")).distinct().collect()]
+    parts = [str(r.p) for r in transcripts.select(day_part().alias("p")).distinct().collect()]
     parts.sort()
     half = set(parts[: len(parts) // 2])
 
     # run 1 over only the first half of partitions
-    first = transcripts.filter(day_part().isin(list(half)))
+    first = transcripts.filter(day_part().cast("string").isin(list(half)))
     run = ValidationRun(engine, manifest=manifest)
     run.run(spark, first, run_id="run-1", seq=1)
 
@@ -82,11 +82,11 @@ def test_resume_skips_validated_partitions(spark, engine, transcripts, tmp_path)
 
     # run 2 over everything: must process ONLY the second half
     pending = manifest.filter_pending(spark, transcripts, day_part())
-    seen = {r.p for r in pending.select(day_part().alias("p")).distinct().collect()}
+    seen = {str(r.p) for r in pending.select(day_part().alias("p")).distinct().collect()}
     assert seen == set(parts) - half
 
     res2 = run.run(spark, transcripts, run_id="run-2", seq=3)
-    parts2 = {r.part for r in res2.verdicts.select("part").collect()}
+    parts2 = {str(r.part) for r in res2.verdicts.select("part").collect()}
     assert parts2 == set(parts) - half
 
 
