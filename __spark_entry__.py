@@ -99,12 +99,28 @@ PROPS_CHECK_SCHEMA = {
     "required": ["k", "v"],
 }
 
+# strict transcript-turn schema exercising the enum + pattern engine
+# extensions through the oracle (role 'tool' is deliberately outside the
+# enum so real violations surface)
+STRICT_TURN_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "conv_id": {"type": "string", "pattern": r"conv-\d+"},
+        "turn_idx": {"type": "integer"},
+        "role": {"type": "string", "enum": ["system", "user", "assistant"]},
+        "text": {"type": "string"},
+        "ts": {"type": "string"},
+    },
+    "required": ["conv_id", "turn_idx", "role", "text", "ts"],
+}
+
 
 def _registry() -> SchemaRegistry:
     reg = SchemaRegistry(domain="bees", version="v1", schema_root=REPO / "schemas")
     reg.load_dir(REPO / "schemas")
     reg.put("tpch", "orders_check", ORDERS_CHECK_SCHEMA)
     reg.put("events", "props_check", PROPS_CHECK_SCHEMA)
+    reg.put("transcripts", "turn_strict", STRICT_TURN_SCHEMA)
     return reg
 
 
@@ -589,6 +605,130 @@ SELECT vec_id, nn_id FROM (
 """
 
 
+def _q_validate_transcripts_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return _engine().validate_data(t, "transcripts", "turn_strict").select(
+        "conv_id", "turn_idx", "valid", "error_message"
+    )
+
+
+_VALIDATE_STRICT_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       (text IS NOT NULL AND role IN ('system', 'user', 'assistant')) AS valid,
+       CASE WHEN text IS NOT NULL AND role IN ('system', 'user', 'assistant')
+            THEN 'Validation successful'
+            ELSE concat_ws('; ',
+              CASE WHEN text IS NULL THEN 'Required field missing: text' END,
+              CASE WHEN role IS NOT NULL AND role NOT IN ('system', 'user', 'assistant')
+                   THEN 'Invalid value for field ''role''. Expected one of: system, user, assistant' END)
+       END AS error_message
+FROM t
+"""
+
+
+def _q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pacts_spark.datapipe.similarity import cosine_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def _q_ivf_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pacts_spark.datapipe.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, block_col="label", k=1).select("vec_id", "nn_id", "label")
+
+
+_IVF_NN_SQL = """
+SELECT vec_id, nn_id, label FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id, a.label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+           b.vec_id ASC) AS rn
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE rn = 1
+"""
+
+
+def _q_quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_stats(_load(spark, sf_dir, "documents"))
+    return stats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 30)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+_QUALITY_FILTER_SQL = """
+WITH s AS (
+  SELECT doc_id, trim(text) AS t,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS n_tok
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tok,
+         round(least(1.0,
+           (CASE WHEN n_tok > 0
+                 THEN len(list_distinct(string_split(t, ' '))) / n_tok
+                 ELSE 0.0 END) * least(n_tok / 50.0, 1.0)), 6) AS quality_score
+  FROM s
+)
+SELECT doc_id, n_tok AS n_tokens, quality_score
+FROM q WHERE quality_score >= 0.5 AND n_tok >= 30
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the oracle: documents become opaque
+    binary media blobs (deterministic modality assignment); the
+    mapInPandas feature extractor's verifiable outputs (byte length,
+    sha256) are compared — the fake decode vector itself is engine-only."""
+    from pacts_spark.datapipe.multimodal import extract_features
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media, dim=8).select(
+        "media_id", "modality", "n_bytes", "sha256"
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 # -- rows-only entries (no SQL-expressible oracle: sketch/LSH internals) ----
 
 
@@ -618,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_verdicts": _q_partition_verdicts,
         "validate_orders": _q_validate_orders,
         "validate_events_json": _q_validate_events_json,
+        "validate_transcripts_strict": _q_validate_transcripts_strict,
         # engine-level checks (north_star)
         "colstats_transcripts": _q_colstats_transcripts,
         "colstats_lineitem": _q_colstats_lineitem,
@@ -633,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_documents": _q_textstats_documents,
         "langid_documents": _q_langid_documents,
         "cosine_nn_embeddings": _q_cosine_nn_embeddings,
+        "neardup_embeddings": _q_neardup_embeddings,
+        "ivf_cosine_nn": _q_ivf_cosine_nn,
+        "quality_filter_documents": _q_quality_filter_documents,
+        "media_features": _q_media_features,
         # rows-only (sketch/LSH — no SQL oracle)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
@@ -673,4 +818,9 @@ FROM t
         "textstats_documents": _TEXTSTATS_SQL,
         "langid_documents": _LANGID_SQL,
         "cosine_nn_embeddings": _COSINE_NN_SQL,
+        "validate_transcripts_strict": _VALIDATE_STRICT_SQL,
+        "neardup_embeddings": _NEARDUP_SQL,
+        "ivf_cosine_nn": _IVF_NN_SQL,
+        "quality_filter_documents": _QUALITY_FILTER_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
     }

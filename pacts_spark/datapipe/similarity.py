@@ -100,6 +100,96 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — the exact
+    near-duplicate detector over embeddings. Same vectorized design as
+    :func:`cosine_topk`: one BLAS matmul per Arrow batch against the
+    broadcast candidate matrix; O(N^2) scoring but only threshold-passing
+    pairs are emitted. At corpus scale, run per LSH/IVF bucket."""
+    import numpy as np
+    import pandas as pd
+
+    cand_pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    cand_ids = cand_pdf["id"].to_numpy()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in cand_pdf["v"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ Mn.T
+            qids = pdf[id_col].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i in range(S.shape[0]):
+                hits = np.nonzero((S[i] >= threshold) & (cand_ids > qids[i]))[0]
+                for j in hits:
+                    out_a.append(qids[i])
+                    out_b.append(cand_ids[j])
+                    out_s.append(round(float(S[i, j]), 6))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    block_col: str,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style exact top-k WITHIN coarse cells: candidates are restricted
+    to rows sharing ``block_col`` (a cluster/label id). The scale shape of
+    ANN: shuffle once on the cell id, then each cell is an independent
+    dense matmul inside applyInPandas — no cross-cell pairs ever
+    materialize. Deterministic tie-break (sim desc, id asc)."""
+    import numpy as np
+    import pandas as pd
+
+    kk = k
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        out_q, out_n, out_r, out_s, out_b = [], [], [], [], []
+        block = pdf[block_col].iloc[0]
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -S[i]))[:kk]
+            for r, j in enumerate(order, start=1):
+                if S[i, j] == -np.inf:
+                    continue
+                out_q.append(ids[i])
+                out_n.append(ids[j])
+                out_r.append(r)
+                out_s.append(round(float(S[i, j]), 6))
+                out_b.append(block)
+        return pd.DataFrame(
+            {
+                "vec_id": out_q,
+                "nn_id": out_n,
+                "rank": out_r,
+                "cosine": out_s,
+                block_col: out_b,
+            }
+        )
+
+    out_schema = f"vec_id long, nn_id long, rank int, cosine double, {block_col} int"
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        per_block, out_schema
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [
