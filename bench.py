@@ -39,6 +39,9 @@ HEADLINE = [
     "jaccard_pairs_documents",
     "minhash_pairs_documents",
     "cosine_nn_embeddings",
+    "neardup_embeddings",
+    "ivf_cosine_nn",
+    "validate_transcripts_strict",
 ]
 
 
