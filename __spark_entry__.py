@@ -627,6 +627,49 @@ FROM t
 """
 
 
+def _q_schema_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution impact report (SchemaLoader versioning v1→v2,
+    SchemaLoader.java:257-259 scaled up): per-day counts of turns that
+    pass the v1 turn schema but fail the stricter v2 candidate —
+    the gating signal for rolling a schema version forward."""
+    t = _transcripts(spark, sf_dir)
+    eng = _engine()
+    # both verdicts in ONE fused projection chain — no self-join, no
+    # shuffle beyond the final per-day aggregation
+    both = eng.validate_data(t, "transcripts", "turn").withColumnRenamed(
+        "valid", "valid_v1"
+    ).drop("errors", "error_message")
+    both = eng.validate_data(both, "transcripts", "turn_strict").withColumnRenamed(
+        "valid", "valid_v2"
+    )
+    return (
+        both.groupBy(F.to_date("ts").alias("part"))
+        .agg(
+            F.sum((F.col("valid_v1") & ~F.col("valid_v2")).cast("long")).alias(
+                "n_break_on_upgrade"
+            ),
+            F.sum(F.col("valid_v1").cast("long")).alias("n_valid_v1"),
+            F.sum(F.col("valid_v2").cast("long")).alias("n_valid_v2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SCHEMA_DIFF_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT CAST(ts AS DATE) AS part,
+       sum(CASE WHEN text IS NOT NULL
+                 AND NOT (role IN ('system', 'user', 'assistant'))
+            THEN 1 ELSE 0 END) AS n_break_on_upgrade,
+       sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS n_valid_v1,
+       sum(CASE WHEN text IS NOT NULL
+                 AND role IN ('system', 'user', 'assistant')
+            THEN 1 ELSE 0 END) AS n_valid_v2,
+       count(*) AS n_rows
+FROM t GROUP BY 1
+"""
+
+
 def _q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import cosine_pairs
 
@@ -759,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": _q_validate_orders,
         "validate_events_json": _q_validate_events_json,
         "validate_transcripts_strict": _q_validate_transcripts_strict,
+        "schema_version_diff": _q_schema_version_diff,
         # engine-level checks (north_star)
         "colstats_transcripts": _q_colstats_transcripts,
         "colstats_lineitem": _q_colstats_lineitem,
@@ -819,6 +863,7 @@ FROM t
         "langid_documents": _LANGID_SQL,
         "cosine_nn_embeddings": _COSINE_NN_SQL,
         "validate_transcripts_strict": _VALIDATE_STRICT_SQL,
+        "schema_version_diff": _SCHEMA_DIFF_SQL,
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,
         "quality_filter_documents": _QUALITY_FILTER_SQL,
