@@ -33,7 +33,7 @@ from pacts_spark.checks import (
     column_stats,
     drift_scores,
     duplicate_keys,
-    gap_quantiles,
+    gap_quantiles_discrete,
     ri_violations,
     uniqueness_violations,
 )
@@ -273,13 +273,17 @@ def _q_colstats_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _colstats_sql(table_expr: str, cols: list[str]) -> str:
+    # CAST sums to BIGINT: DuckDB sum() returns HUGEINT, which the driver's
+    # pandas conversion turns into float64 — hash-mismatch vs Spark's long.
+    # null rate is integer ppm for the same reason (no float serialization).
     pieces = []
     for c in cols:
         pieces.append(f"""
 SELECT '__all__' AS part, '{c}' AS col_name,
        count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_rate,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS null_ppm,
        count(DISTINCT {c}) AS n_distinct,
        min(CAST({c} AS VARCHAR)) AS min_value,
        max(CAST({c} AS VARCHAR)) AS max_value
@@ -355,32 +359,35 @@ GROUP BY j.part
 
 def _q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
-    g = gap_quantiles(t, partition_col=day_part(), exact=True)
-    return g.select(
-        "part", "p50", "p90", "p99",
-        F.round("min_gap", 6).alias("min_gap"),
-        F.round("max_gap", 6).alias("max_gap"),
-        "n_negative_gaps", "n_gaps",
-    )
+    return gap_quantiles_discrete(t, partition_col=day_part())
 
 
+# All-long outputs (integer microseconds, discrete rank-based quantiles):
+# float interpolation + rounding serialize differently across engines.
+# rank of quantile num/den = ceil(n*num/den) in pure integer arithmetic.
 _GAPS_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL}),
 g AS (
   SELECT CAST(ts AS DATE) AS part,
-         epoch(ts) - lag(epoch(ts)) OVER (
-           PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_seconds
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_us
   FROM t
+),
+r AS (
+  SELECT part, gap_us,
+         row_number() OVER (PARTITION BY part ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY part) AS n
+  FROM g WHERE gap_us IS NOT NULL
 )
 SELECT part,
-       round(quantile_cont(gap_seconds, 0.5), 6) AS p50,
-       round(quantile_cont(gap_seconds, 0.9), 6) AS p90,
-       round(quantile_cont(gap_seconds, 0.99), 6) AS p99,
-       round(min(gap_seconds), 6) AS min_gap,
-       round(max(gap_seconds), 6) AS max_gap,
-       sum(CASE WHEN gap_seconds < 0 THEN 1 ELSE 0 END) AS n_negative_gaps,
-       count(gap_seconds) AS n_gaps
-FROM g WHERE gap_seconds IS NOT NULL
+       CAST(max(CASE WHEN rn = (1 * n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50_us,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT) AS p90_us,
+       CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS BIGINT) AS p99_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_gaps,
+       count(gap_us) AS n_gaps
+FROM r
 GROUP BY part
 """
 
@@ -658,13 +665,13 @@ def _q_schema_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCHEMA_DIFF_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL})
 SELECT CAST(ts AS DATE) AS part,
-       sum(CASE WHEN text IS NOT NULL
+       CAST(sum(CASE WHEN text IS NOT NULL
                  AND NOT (role IN ('system', 'user', 'assistant'))
-            THEN 1 ELSE 0 END) AS n_break_on_upgrade,
-       sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS n_valid_v1,
-       sum(CASE WHEN text IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_break_on_upgrade,
+       CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v1,
+       CAST(sum(CASE WHEN text IS NOT NULL
                  AND role IN ('system', 'user', 'assistant')
-            THEN 1 ELSE 0 END) AS n_valid_v2,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v2,
        count(*) AS n_rows
 FROM t GROUP BY 1
 """

@@ -10,7 +10,11 @@ from pacts_spark.checks.stats import column_stats
 from pacts_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
 from pacts_spark.checks.referential import ri_violations
 from pacts_spark.checks.drift import category_histogram, drift_scores
-from pacts_spark.checks.timegaps import ts_gaps, gap_quantiles
+from pacts_spark.checks.timegaps import (
+    ts_gaps,
+    gap_quantiles,
+    gap_quantiles_discrete,
+)
 
 __all__ = [
     "column_stats",
@@ -21,4 +25,5 @@ __all__ = [
     "drift_scores",
     "ts_gaps",
     "gap_quantiles",
+    "gap_quantiles_discrete",
 ]

@@ -64,12 +64,15 @@ def column_stats(
             + ") as (column, n_nulls, n_distinct, min_value, max_value)"
         ),
     )
+    # null rate as integer parts-per-million (long): exact cross-engine
+    # representation — float rates serialize differently between engines
+    # (CLAUDE.md invariant: prefer int/string outputs)
     return stacked.select(
         "part",
         "column",
         "n_rows",
         "n_nulls",
-        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
+        F.expr("n_nulls * 1000000 div n_rows").alias("null_ppm"),
         "n_distinct",
         "min_value",
         "max_value",

@@ -164,6 +164,59 @@ def gap_quantiles_tdigest(
     )
 
 
+def gap_quantiles_discrete(
+    df: DataFrame,
+    partition_col: Column | str | None = None,
+    quantile_fracs: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact DISCRETE gap quantiles in integer microseconds — the
+    oracle-parity variant: every output column is a long, so the value
+    serialization is bit-identical across engines (no float interpolation,
+    no double rounding; CLAUDE.md invariant: prefer int outputs).
+
+    Quantile q = num/den picks the element at rank ceil(q*n) computed in
+    pure integer arithmetic ((num*n + den - 1) div den) over a per-part
+    rank window. Two shuffles (conv window for lag, part window for rank);
+    the approx :func:`gap_quantiles` remains the 100 TB hot path — this is
+    the exact verifier.
+    """
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    gaps = df.withColumn(
+        "gap_us", us(F.col(ts_col)) - F.lag(us(F.col(ts_col))).over(w)
+    ).filter(F.col("gap_us").isNotNull())
+    if partition_col is None:
+        gaps = gaps.withColumn("part", F.lit("__all__"))
+    else:
+        pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+        gaps = gaps.withColumn("part", pcol)
+    pw = Window.partitionBy("part")
+    ranked = gaps.select(
+        "part",
+        "gap_us",
+        F.row_number().over(pw.orderBy("gap_us")).alias("rn"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({num} * n + {den} - 1) div {den}"),
+                F.col("gap_us"),
+            )
+        ).alias(f"p{num * 100 // den}_us")
+        for num, den in quantile_fracs
+    ] + [
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum((F.col("gap_us") < 0).cast("long")).alias("n_negative_gaps"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    ]
+    return ranked.groupBy("part").agg(*aggs)
+
+
 def gap_quantiles(
     df: DataFrame,
     partition_col: Column | str | None = None,

@@ -33,7 +33,7 @@ def test_column_stats_exact(spark):
     )
     out = {r.column: r for r in column_stats(df, ["k", "v"], exact_distinct=True).collect()}
     assert out["k"].n_nulls == 1 and out["k"].n_distinct == 2
-    assert out["v"].null_rate == 0.25
+    assert out["v"].null_ppm == 250000
     assert out["v"].min_value == "1" and out["v"].max_value == "4"
 
 
