@@ -39,7 +39,7 @@ from pacts_spark.checks import (
 )
 from pacts_spark.datapipe.dedup import (
     exact_duplicates,
-    minhash_dedup_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -508,7 +508,7 @@ SELECT i.id_a, i.id_b,
 FROM inter i
 JOIN sizes sa ON i.id_a = sa.id
 JOIN sizes sb ON i.id_b = sb.id
-WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.5
 """
 
 
@@ -779,25 +779,136 @@ FROM documents
 """
 
 
-# -- rows-only entries (no SQL-expressible oracle: sketch/LSH internals) ----
+# -- sketch queries, candidate-then-verify with exact-twin oracles ----------
 
 
 def _q_minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates (k=64 single-hash bands) re-scored with EXACT
+    Jaccard: output equals the exact all-pairs Jaccard >= 0.5 set up to a
+    (1-j)^64 ~ 5e-20 miss bound (dedup.minhash_verified_pairs docstring) —
+    oracled against the exact all-pairs SQL."""
     docs = _load(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, k=64, bands=16, threshold=0.5)
+    return minhash_verified_pairs(docs, k=64, threshold=0.5)
+
+
+_MINHASH_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[u.i:u.i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.5
+"""
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_MAX_HAMMING = 8
 
 
 def _q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with the pigeonhole recall guarantee
+    (max_hamming+1 chunks) and an md5-prefix token hash computable
+    identically in DuckDB — the oracle recomputes the fingerprints in SQL
+    and checks the exact all-pairs Hamming <= h set."""
     docs = _load(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=8)
+    return simhash_near_pairs(
+        docs,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        token_hash="md5_60",
+        bits=_SIMHASH_BITS,
+    )
+
+
+def _simhash_sql(bits: int = _SIMHASH_BITS, h: int = _SIMHASH_MAX_HAMMING) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " | ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tk
+  FROM documents
+),
+hs AS (SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS th FROM toks),
+b AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp}) AS fp FROM b)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {h}
+"""
+
+
+_ANN_PLANES = 16
+_ANN_BANDS = 8
 
 
 def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (ids-only band shuffle). The oracle is a
+    faithful SQL twin of the SAME deterministic algorithm — seeded plane
+    literals, band bucketing, candidate join, exact cosine re-rank — so
+    the driver checks the banding/bucketing/re-rank logic end to end."""
     emb = _load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return lsh_ann_topk(emb, dim=dim, k=1, n_planes=16, bands=8).select(
-        "vec_id", "nn_id"
+    return lsh_ann_topk(
+        emb, dim=dim, k=1, n_planes=_ANN_PLANES, bands=_ANN_BANDS
+    ).select("vec_id", "nn_id")
+
+
+def _ann_sql(dim: int = 64, n_planes: int = _ANN_PLANES, bands: int = _ANN_BANDS) -> str:
+    from pacts_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    rows_per_band = n_planes // bands
+    sig_elems = ", ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
     )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"array_to_string(s[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], '') AS bucket "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, [{sig_elems}] AS s FROM embeddings),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.qid, c.cid,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN embeddings ea ON c.qid = ea.vec_id
+  JOIN embeddings eb ON c.cid = eb.vec_id
+)
+SELECT qid AS vec_id, cid AS nn_id FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -829,7 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_nn": _q_ivf_cosine_nn,
         "quality_filter_documents": _q_quality_filter_documents,
         "media_features": _q_media_features,
-        # rows-only (sketch/LSH — no SQL oracle)
+        # sketch queries (candidate-then-verify, exact-twin oracles)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "ann_nn_embeddings": _q_ann_nn_embeddings,
@@ -875,4 +986,7 @@ FROM t
         "ivf_cosine_nn": _IVF_NN_SQL,
         "quality_filter_documents": _QUALITY_FILTER_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "minhash_pairs_documents": _MINHASH_SQL,
+        "simhash_pairs_documents": _simhash_sql(),
+        "ann_nn_embeddings": _ann_sql(),
     }

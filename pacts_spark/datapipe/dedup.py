@@ -14,7 +14,8 @@ Scale design notes (the point of each variant):
            signature math is Column expressions over xxhash64 — no Python.
 - simhash: 64-bit fingerprint whose Hamming distance tracks cosine
            similarity of token sets; near-dup candidates = identical
-           16-bit chunks (4-chunk blocking, Hamming ≤ 3 guarantee).
+           chunks, with the chunk COUNT derived from max_hamming
+           (pigeonhole: h+1 chunks guarantee recall 1 for Hamming ≤ h).
 """
 
 from __future__ import annotations
@@ -28,8 +29,11 @@ _P = (1 << 31) - 1
 
 
 def _tokens(text: Column) -> Column:
-    """Whitespace tokenization — deterministic, locale-free."""
-    return F.split(F.trim(text), r"\s+")
+    """Single-space tokenization — deterministic, locale-free, and
+    byte-identical to the DuckDB oracle twin (``string_split(trim(text),
+    ' ')``); the textstats token identities use the same split. A ``\\s+``
+    regex split would diverge on tabs/newlines/runs of spaces."""
+    return F.split(F.trim(text), " ")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -218,30 +222,108 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _token_hash(t: Column, token_hash: str) -> Column:
+    """Per-token 64/60-bit hash.
+
+    - ``xxhash64``: JVM-native, fastest — the production path.
+    - ``md5_60``: first 15 hex chars of md5 as a 60-bit long — slower, but
+      computable IDENTICALLY in DuckDB (``('0x' || substr(md5(t), 1, 15))
+      ::BIGINT``), which is what makes the simhash query oracle-checkable.
+    """
+    if token_hash == "xxhash64":
+        return F.xxhash64(t)
+    if token_hash == "md5_60":
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash: {token_hash}")
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
 ) -> DataFrame:
-    """64-bit SimHash over tokens: bit j of the fingerprint is the sign of
+    """Candidate-then-verify MinHash dedup: banded-LSH candidates, then
+    EXACT Jaccard re-score over the candidates' shingle sets. Returns
+    (id_a, id_b, jaccard) with round(jaccard, 6) >= threshold.
+
+    With ``rows_per_band = 1`` (bands = k single-hash bands — the default
+    here), a pair is a candidate iff ANY of the k minhash slots agree, so
+    the probability a true pair at Jaccard j is missed is (1-j)^k —
+    ~5e-20 at j = 0.5, k = 64. The verified output is therefore equal to
+    the exact all-pairs Jaccard >= threshold set (the DuckDB oracle twin),
+    up to that vanishing bound. Shuffle cost: the band explode carries
+    (id, band, bucket) only; shingle arrays travel only for candidate
+    pairs (the verification join), never all-pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed)
+    cand = lsh_candidate_pairs(sigs, bands=k, rows_per_band=1)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    j = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash over tokens: bit j of the fingerprint is the sign of
     sum over tokens of (+1 if token-hash bit j else -1). Pure Column
-    expressions (aggregate over the token array, 64 shiftright/bit tests
-    folded into one projection)."""
+    expressions (aggregate over the token array, ``bits`` shiftright/bit
+    tests folded into one projection). The token-hash array is
+    materialized in its own projection FIRST — otherwise Catalyst
+    re-evaluates tokenize+hash once per bit (the measured 20x minhash
+    re-evaluation trap)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: _token_hash(t, token_hash)).alias("__h"),
+    )
+
     def bit_sum(j: int):
         return F.aggregate(
-            hashes,
+            F.col("__h"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    bit_sums = [bit_sum(j) for j in range(64)]
+    bit_sums = [bit_sum(j) for j in range(bits)]
     fp = None
     for j, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return hashed.select("id", fp.alias("simhash"))
+
+
+def _chunk_bounds(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) partition of ``bits`` into ``n_chunks`` near-equal
+    chunks: the first ``bits % n_chunks`` chunks get the extra bit."""
+    base, extra = divmod(bits, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def simhash_near_pairs(
@@ -249,11 +331,26 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the four 16-bit chunks (any pair
-    within Hamming ≤ 3 shares at least one identical chunk — pigeonhole),
-    verify exact Hamming distance with bit_count."""
-    fps = simhash64(df, text_col, id_col)
+    """Near-dup pairs by SimHash with a RECALL GUARANTEE: block on
+    ``max_hamming + 1`` bit-chunks of the fingerprint — by pigeonhole, any
+    pair within Hamming ≤ max_hamming differs in at most max_hamming chunks
+    and therefore shares at least one identical chunk. Exact Hamming
+    verification with bit_count drops false candidates, so the output is
+    EXACTLY the all-pairs Hamming ≤ max_hamming set."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError("max_hamming must be in [0, bits)")
+    n_chunks = max_hamming + 1
+    fps = simhash64(df, text_col, id_col, token_hash=token_hash, bits=bits)
+
+    def chunk_col(off: int, w: int) -> Column:
+        shifted = F.shiftrightunsigned("simhash", off)
+        if w >= 64:  # whole-fingerprint chunk: (1<<64)-1 overflows a long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     chunks = fps.select(
         "id",
         "simhash",
@@ -262,11 +359,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        chunk_col(off, w).alias("chunk"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(_chunk_bounds(bits, n_chunks))
                 ]
             )
         ).alias("cc"),
@@ -288,7 +383,8 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    # long hamming: cross-engine dtype parity (DuckDB bit_count is TINYINT)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

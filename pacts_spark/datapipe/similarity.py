@@ -1,21 +1,29 @@
 """Similarity search over an embedding column (array<float>).
 
-- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
-  Dot products are pure Column math (zip_with + aggregate, JVM-side);
-  top-k per query via a window rank over the scored pairs. O(N²) — fine
-  for verification scales, NOT the 100 TB path.
+- :func:`cosine_topk` / :func:`cosine_pairs` — EXACT brute force, but
+  distributed as a block-nested-loop: candidates are hash-assigned to
+  ``n_chunks`` deterministic chunks, queries are replicated to every
+  chunk, and each (chunk) group does ONE BLAS matmul inside
+  applyInPandas. No driver-side collect anywhere: the only data movement
+  is the chunk shuffle (queries x n_chunks + candidates x 1), and the
+  per-chunk candidate matrix is bounded to fit executor memory by
+  choosing n_chunks ~ corpus_bytes / executor_mem at scale. Partial
+  top-k per chunk, global top-k via a window — exact results, O(N^2)
+  compute spread over the cluster.
 
-- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH (signed
-  projections → bit signature → band buckets); candidates only within
-  shared buckets, then exact re-rank. Sub-quadratic: shuffle is keyed by
-  bucket, per-bucket fan-out bounded by bucket size. Hyperplanes are
-  generated from a seeded RNG on the driver and shipped as literals —
-  deterministic, no RNG on executors.
+- :func:`ivf_topk` — IVF cells: shuffle once on the cell id, dense
+  matmul per cell; the sub-quadratic ANN shape.
+
+- :func:`lsh_ann_topk` — random-hyperplane LSH (signed projections →
+  bit signature → band buckets). The band explode / self-join / dedup
+  carry IDS ONLY (the embedding re-attaches via two joins just before
+  exact re-ranking), so the shuffle is bands x (id, bucket), never
+  bands x vectors. Hyperplanes come from a seeded RNG on the driver and
+  ship as literals — deterministic, no RNG on executors.
 """
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -42,61 +50,85 @@ def _norm(a):
     )
 
 
+def _chunked_union(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_chunks: int,
+) -> DataFrame:
+    """Union frame for the block-nested-loop: candidates tagged with a
+    deterministic hash chunk, queries replicated to every chunk."""
+    cand = candidates.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("chunk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.lit("c").alias("side"),
+    )
+    qry = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.lit("q").alias("side"),
+    )
+    return cand.unionByName(qry)
+
+
 def cosine_topk(
     df: DataFrame,
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    n_chunks: int = 8,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, nn_id, rank, cosine).
 
-    Vectorized mapInPandas: the candidate set (default: the whole input) is
-    collected to a numpy matrix and shipped to executors in the UDF
-    closure; each Arrow batch of queries does ONE BLAS matmul against it.
-    This is the exact-scoring half of an IVF design — at 100 TB the
-    candidate matrix is a partition's IVF cell (pass ``candidates``), not
-    the full corpus. Queries never shuffle; work is embarrassingly
-    parallel over input partitions.
-
-    Deterministic tie-break: higher sim first, then smaller neighbor id
-    (ties broken by numpy lexsort on (-sim, id)).
+    Distributed block-nested-loop (module docstring): per-chunk partial
+    top-k inside applyInPandas (one matmul per chunk), then a global
+    window merges the n_chunks partials. Exact because the global top-k
+    is a subset of the union of per-chunk top-ks. Deterministic
+    tie-break: higher sim first, then smaller neighbor id.
     """
     import numpy as np
     import pandas as pd
 
     cand = candidates if candidates is not None else df
-    cand_pdf = cand.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    cand_ids = cand_pdf["id"].to_numpy()
-    M = np.array([np.asarray(v, dtype=np.float64) for v in cand_pdf["v"]])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-
+    union = _chunked_union(df, cand, id_col, vec_col, n_chunks)
     kk = k
 
-    def score(batches):
-        for pdf in batches:
-            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Qn @ Mn.T  # (batch, n_candidates)
-            qids = pdf[id_col].to_numpy()
-            self_mask = qids[:, None] == cand_ids[None, :]
-            S[self_mask] = -np.inf
-            out_q, out_n, out_r, out_s = [], [], [], []
-            for i in range(S.shape[0]):
-                order = np.lexsort((cand_ids, -S[i]))[:kk]
-                for r, j in enumerate(order, start=1):
-                    if S[i, j] == -np.inf:
-                        continue
-                    out_q.append(qids[i])
-                    out_n.append(cand_ids[j])
-                    out_r.append(r)
-                    out_s.append(round(float(S[i, j]), 6))
-            yield pd.DataFrame(
-                {"vec_id": out_q, "nn_id": out_n, "rank": out_r, "cosine": out_s}
-            )
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["side"] == "c"]
+        q = pdf[pdf["side"] == "q"]
+        if c.empty or q.empty:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "sim": []})
+        cand_ids = c["id"].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        qids = q["id"].to_numpy()
+        S[qids[:, None] == cand_ids[None, :]] = -np.inf
+        out_q, out_n, out_s = [], [], []
+        for i in range(S.shape[0]):
+            order = np.lexsort((cand_ids, -S[i]))[:kk]
+            for j in order:
+                if S[i, j] == -np.inf:
+                    continue
+                out_q.append(qids[i])
+                out_n.append(cand_ids[j])
+                out_s.append(float(S[i, j]))
+        return pd.DataFrame({"vec_id": out_q, "nn_id": out_n, "sim": out_s})
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "vec_id long, nn_id long, rank int, cosine double"
+    partials = union.groupBy("chunk").applyInPandas(
+        partial, "vec_id long, nn_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nn_id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nn_id", "rank", F.round("sim", 6).alias("cosine"))
     )
 
 
@@ -105,37 +137,41 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_chunks: int = 8,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — the exact
-    near-duplicate detector over embeddings. Same vectorized design as
-    :func:`cosine_topk`: one BLAS matmul per Arrow batch against the
-    broadcast candidate matrix; O(N^2) scoring but only threshold-passing
-    pairs are emitted. At corpus scale, run per LSH/IVF bucket."""
+    near-duplicate detector over embeddings, distributed (module
+    docstring). Each pair (a, b) with a < b is emitted exactly once: in
+    the chunk that owns candidate b, where query a meets it."""
     import numpy as np
     import pandas as pd
 
-    cand_pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    cand_ids = cand_pdf["id"].to_numpy()
-    M = np.array([np.asarray(v, dtype=np.float64) for v in cand_pdf["v"]])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    union = _chunked_union(df, df, id_col, vec_col, n_chunks)
+    thr = threshold
 
-    def score(batches):
-        for pdf in batches:
-            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Qn @ Mn.T
-            qids = pdf[id_col].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for i in range(S.shape[0]):
-                hits = np.nonzero((S[i] >= threshold) & (cand_ids > qids[i]))[0]
-                for j in hits:
-                    out_a.append(qids[i])
-                    out_b.append(cand_ids[j])
-                    out_s.append(round(float(S[i, j]), 6))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["side"] == "c"]
+        q = pdf[pdf["side"] == "q"]
+        if c.empty or q.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        cand_ids = c["id"].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        qids = q["id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for i in range(S.shape[0]):
+            hits = np.nonzero((S[i] >= thr) & (cand_ids > qids[i]))[0]
+            for j in hits:
+                out_a.append(qids[i])
+                out_b.append(cand_ids[j])
+                out_s.append(round(float(S[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "id_a long, id_b long, cosine double"
+    return union.groupBy("chunk").applyInPandas(
+        partial, "id_a long, id_b long, cosine double"
     )
 
 
@@ -204,7 +240,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
@@ -212,6 +248,11 @@ def lsh_ann_topk(
     signature bit i = sign(v · h_i); band buckets of n_planes/bands bits;
     candidates share ≥1 band bucket; exact cosine re-rank inside candidates.
     Recall rises with bands (more, smaller bands → more candidates).
+
+    Scale shape: the band explode, self-join and distinct() move ONLY
+    (id, band, bucket) — the vectors re-attach via two id-keyed joins on
+    the deduplicated candidate pairs before the exact re-rank, so the
+    shuffle never carries bands x embedding.
     """
     rows_per_band = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
@@ -221,11 +262,10 @@ def lsh_ann_topk(
         return F.when(_dot(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0))
 
     sig = F.array(*[bit(i) for i in range(n_planes)])
-    with_sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
     banded = with_sig.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -243,7 +283,7 @@ def lsh_ann_topk(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -254,16 +294,15 @@ def lsh_ann_topk(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("qid"),
-            F.col("a.v").alias("qv"),
-            F.col("b.id").alias("cid"),
-            F.col("b.v").alias("cv"),
-        )
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("cid"))
         .distinct()
     )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
+        vecs.select(F.col("id").alias("qid"), F.col("v").alias("qv")), "qid"
+    ).join(vecs.select(F.col("id").alias("cid"), F.col("v").alias("cv")), "cid")
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = cand.select("qid", "cid", sim.alias("sim"))
+    scored = pairs.select("qid", "cid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

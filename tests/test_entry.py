@@ -20,10 +20,5 @@ def test_queries_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # every oracled query has a non-empty SQL string
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
-    # rows-only entries are the sketch/LSH ones only
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "minhash_pairs_documents",
-        "simhash_pairs_documents",
-        "ann_nn_embeddings",
-    }
+    # every query is oracled (round 2: sketch queries gained exact twins)
+    assert set(qs) == set(oracles)
