@@ -677,6 +677,65 @@ FROM t GROUP BY 1
 """
 
 
+def _q_validate_envelopes_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY entry point end to end: envelope JSON parse
+    (PactsService.parseEnvelope) → Validator.validate lifecycle
+    (Validator.java:39-81) with MIXED per-row coordinates — header-null,
+    blank coordinate triple, each single blank coordinate, unknown schema
+    ("Schema not found: {category}/{name}", Validator.java:68), top-level
+    type failure, and a fully valid envelope. Envelopes are built
+    deterministically from events (event_id % 8 selects the case)."""
+    from pacts_spark.model import parse_envelopes
+
+    ev = _load(spark, sf_dir, "events")
+    m = F.col("event_id") % 8
+    props = F.col("props")
+    hdr = '{"header": {"schema_version": "v1", "schema_category": "events", "schema_name": "props_check"}'
+    env = (
+        F.when(m == 0, F.concat(F.lit('{"data": '), props, F.lit("}")))
+        .when(m == 1, F.concat(
+            F.lit('{"header": {"schema_version": "", "schema_category": "", "schema_name": ""}, "data": '),
+            props, F.lit("}")))
+        .when(m == 2, F.concat(
+            F.lit('{"header": {"schema_version": "v1", "schema_name": "props_check"}, "data": '),
+            props, F.lit("}")))
+        .when(m == 3, F.concat(
+            F.lit('{"header": {"schema_version": "v1", "schema_category": "events"}, "data": '),
+            props, F.lit("}")))
+        .when(m == 4, F.concat(
+            F.lit('{"header": {"schema_category": "events", "schema_name": "props_check"}, "data": '),
+            props, F.lit("}")))
+        .when(m == 5, F.concat(
+            F.lit('{"header": {"schema_version": "v1", "schema_category": "nope", "schema_name": "nada"}, "data": '),
+            props, F.lit("}")))
+        .when(m == 6, F.lit(hdr + ', "data": 5}'))
+        .otherwise(F.lit(hdr + ', "data": {"k": 1, "v": 2}}'))
+    )
+    parsed = parse_envelopes(
+        ev.select("event_id", env.alias("value")), keep=("event_id",)
+    )
+    return _engine().validate_envelopes(parsed).select(
+        "event_id", "valid", "error_message"
+    )
+
+
+_VALIDATE_ENVELOPES_SQL = """
+SELECT event_id,
+       (event_id % 8 = 7) AS valid,
+       CASE event_id % 8
+         WHEN 0 THEN 'Header is required'
+         WHEN 1 THEN 'Header is required'
+         WHEN 2 THEN 'Schema category is required in header'
+         WHEN 3 THEN 'Schema name is required in header'
+         WHEN 4 THEN 'Schema version is required in header; Required field missing: v'
+         WHEN 5 THEN 'Schema not found: nope/nada'
+         WHEN 6 THEN 'Required field missing: k; Required field missing: v; Invalid type. Expected: object'
+         ELSE 'Validation successful'
+       END AS error_message
+FROM events
+"""
+
+
 def _q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import cosine_pairs
 
@@ -920,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": _q_validate_orders,
         "validate_events_json": _q_validate_events_json,
         "validate_transcripts_strict": _q_validate_transcripts_strict,
+        "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "schema_version_diff": _q_schema_version_diff,
         # engine-level checks (north_star)
         "colstats_transcripts": _q_colstats_transcripts,
@@ -981,6 +1041,7 @@ FROM t
         "langid_documents": _LANGID_SQL,
         "cosine_nn_embeddings": _COSINE_NN_SQL,
         "validate_transcripts_strict": _VALIDATE_STRICT_SQL,
+        "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "schema_version_diff": _SCHEMA_DIFF_SQL,
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,

@@ -51,15 +51,19 @@ ENVELOPE_SCHEMA = T.StructType(
 # to keep `data` raw is get_json_object on the original string.
 
 
-def parse_envelopes(df: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_envelopes(
+    df: DataFrame, json_col: str = "value", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """JSON string column → (header struct, data raw-JSON string, metadata).
 
     Parity with PactsService.parseEnvelope (PactsService.java:127-131).
-    One scan, built-in JSON expressions only.
+    One scan, built-in JSON expressions only. ``keep`` carries key columns
+    (e.g. a message/event id) alongside the parsed envelope.
     """
     src = F.col(json_col)
     outer = T.StructType([T.StructField("header", HEADER_SCHEMA)])
     return df.select(
+        *[F.col(c) for c in keep],
         F.from_json(src, outer).getField("header").alias("header"),
         F.get_json_object(src, "$.data").alias("data"),
         F.from_json(F.get_json_object(src, "$.metadata"), T.MapType(T.StringType(), T.StringType())).alias("metadata"),
