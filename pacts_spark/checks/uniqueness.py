@@ -53,16 +53,22 @@ def uniqueness_violations(
     keys: list[str],
     salt_col: str | Column | None = None,
     salt_buckets: int = 16,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Exploded per-row violation form: every row whose key is duplicated,
     tagged with the reference-style message catalog extension
     ``Duplicate key: (k1=v1, k2=v2) appears N times``.
 
-    Join back is a broadcast when the duplicate set is small (it should
-    be — violations are the tail), else AQE picks SMJ.
+    ``broadcast_dups=True`` hints the join-back (the duplicate set is
+    normally the tail, so this is the common fast path). Set it False for
+    pathological inputs (mass duplication) where the duplicate-key set
+    itself is large — then AQE picks the join strategy from runtime stats
+    instead of force-collecting the dup set to the driver.
     """
     dups = duplicate_keys(df, keys, salt_col=salt_col, salt_buckets=salt_buckets)
-    joined = df.join(F.broadcast(dups), on=keys, how="inner")
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    joined = df.join(dups, on=keys, how="inner")
     msg = F.concat(
         F.lit("Duplicate key: ("),
         F.concat_ws(

@@ -159,8 +159,10 @@ class PactsEngine:
         """
         validated = self.validate_data(df, category, name, json_col=json_col)
         bad = validated.filter(~F.col("valid"))
-        if key_cols:
-            bad = bad.orderBy(*key_cols)
+        # deterministic first row: key order when keys are given, else the
+        # minimum error_message — never an arbitrary partition-order pick
+        # (repo invariant: no nondeterminism in any output path)
+        bad = bad.orderBy(*key_cols) if key_cols else bad.orderBy("error_message")
         first = bad.select("error_message").limit(1).collect()
         if first:
             raise ValidationException(E.validation_failed(first[0][0]))

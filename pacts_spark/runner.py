@@ -73,8 +73,6 @@ class ValidationRun:
         conversations: DataFrame | None = None,
         tools: DataFrame | None = None,
         baseline_role_hist: DataFrame | None = None,
-        run_id: str = "run-0",
-        seq: int = 0,
         persist_input: bool = False,
     ) -> RunResult:
         part = day_part()
@@ -174,9 +172,12 @@ class ValidationRun:
         drift = drift_scores(role_hist, baseline)
         gaps = gap_quantiles(transcripts, partition_col=part)
 
-        if self.manifest is not None:
-            self.manifest.record(verdicts, run_id=run_id, seq=seq)
-
+        # NOTE: run() does NOT record to the manifest — recording before the
+        # outputs are durably written would let a crash mark partitions
+        # 'validated' whose verdict/violation rows were never persisted (a
+        # resumed run would then skip them forever). Callers record AFTER
+        # persisting outputs: run_and_write() does, or call
+        # ``manifest.record(res.verdicts, ...)`` once your sinks commit.
         return RunResult(
             validated=validated,
             violations=violations,
@@ -223,6 +224,8 @@ class ValidationRun:
             tools=tools,
             persist_input=False,
         )
+        # manifest.record happens ONLY after both output writes succeed
+        # (below) — see run()'s note on crash-safe resume ordering.
         vio_path = f"{out_dir}/violations"
         res.violations.write.mode("overwrite").parquet(vio_path)
 

@@ -70,19 +70,33 @@ def fork_sinks(
 ):
     """writeStream.foreachBatch gate: valid rows → output table, violations
     → violations table (the streaming analogue of sendValidatedData's
-    valid/invalid fork, PactsService.java:106-122). Exactly-once via the
-    streaming checkpoint + idempotent parquet appends per batch id."""
+    valid/invalid fork, PactsService.java:106-122).
+
+    Exactly-once: each micro-batch writes into its own ``batch_id=N``
+    partition with DYNAMIC partition overwrite — a replayed batch (failure
+    between sink write and checkpoint commit) overwrites exactly its own
+    partition instead of appending duplicates, making the sink idempotent
+    per batch id. (On Iceberg this becomes REPLACE WHERE batch_id = N.)"""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            batch.filter(F.col("valid")).drop("errors", "valid", "error_message").write.mode(
-                "append"
-            ).parquet(valid_path)
+            (
+                batch.filter(F.col("valid"))
+                .drop("errors", "valid", "error_message")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(valid_path)
+            )
             (
                 batch.filter(~F.col("valid"))
                 .select(*key_cols, F.posexplode("errors").alias("error_idx", "violation"))
-                .write.mode("append")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(violations_path)
             )
         finally:

@@ -163,3 +163,18 @@ def test_tdigest_quantiles_close_to_exact(spark, transcripts):
     for part, e in exact.items():
         spread = max(abs(e.max_gap), 1.0)
         assert abs(approx[part].p50 - e.p50) <= 0.2 * spread
+
+
+def test_uniqueness_no_broadcast_mass_duplicates(spark):
+    """broadcast_dups=False path: a pathologically duplicated input (every
+    key duplicated) must run WITHOUT the broadcast hint — AQE/stats pick
+    the join — and agree with the broadcast path's result."""
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    no_bc = uniqueness_violations(df, ["k"], broadcast_dups=False)
+    with_bc = uniqueness_violations(df, ["k"], broadcast_dups=True)
+    assert "broadcast" not in no_bc._jdf.queryExecution().analyzed().toString().lower()
+    assert no_bc.count() == with_bc.count() == 20000
+    row = no_bc.filter(F.col("k") == 3).first()
+    assert row.dup_count == 40 and "appears 40 times" in row.violation

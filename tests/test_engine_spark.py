@@ -180,3 +180,31 @@ def test_enum_and_pattern_extensions(spark, registry, engine):
     assert rows[2].errors == [
         "Invalid format for field 'conv_id'. Expected pattern: conv-\\d+"
     ]
+
+
+def test_huge_integer_json_mode_java_semantics(spark, engine, registry):
+    """SURVEY §2.2 divergence: integers beyond u64. Jackson parses them as
+    BigInteger — still isIntegralNumber → 'integer' PASSES
+    (Validator.java:100-101); serde_json overflows to f64 → Rust would
+    reject (validator.rs:125). The engine pins to Java semantics (JSON mode
+    parses with Python int — arbitrary precision)."""
+    registry.put("t", "huge_int", {
+        "type": "object",
+        "properties": {"k": {"type": "integer"}},
+        "required": ["k"],
+    })
+    big = 2 ** 64  # 18446744073709551616 — overflows u64 AND i64
+    df = spark.createDataFrame(
+        [(1, f'{{"k": {big}}}'), (2, '{"k": 5.0}'), (3, '{"k": 7}')],
+        "id int, payload string",
+    )
+    out = {
+        r.id: (r.valid, r.error_message)
+        for r in engine.validate_data(df, "t", "huge_int", json_col="payload").collect()
+    }
+    assert out[1] == (True, "Validation successful")       # Java: BigInteger is integral
+    assert out[2] == (False, "Invalid type for field 'k'. Expected: integer")
+    assert out[3] == (True, "Validation successful")
+    # the pure-Python oracle agrees (differential pin)
+    from pacts_spark import oracle as _o
+    assert _o.validate_data({"k": big}, registry.load_schema("t", "huge_int")).valid

@@ -59,10 +59,13 @@ def test_resume_skips_validated_partitions(spark, engine, transcripts, tmp_path)
     parts.sort()
     half = set(parts[: len(parts) // 2])
 
-    # run 1 over only the first half of partitions
+    # run 1 over only the first half of partitions; the caller records to
+    # the manifest AFTER the run's outputs are (notionally) persisted —
+    # run() itself never records (crash-safe resume ordering)
     first = transcripts.filter(day_part().cast("string").isin(list(half)))
     run = ValidationRun(engine, manifest=manifest)
-    run.run(spark, first, run_id="run-1", seq=1)
+    res1 = run.run(spark, first)
+    manifest.record(res1.verdicts, run_id="run-1", seq=1)
 
     done = {r.part for r in manifest.validated_parts(spark).collect()}
     # partitions with any violation are 'failed', clean ones 'validated';
@@ -85,7 +88,7 @@ def test_resume_skips_validated_partitions(spark, engine, transcripts, tmp_path)
     seen = {str(r.p) for r in pending.select(day_part().alias("p")).distinct().collect()}
     assert seen == set(parts) - half
 
-    res2 = run.run(spark, transcripts, run_id="run-2", seq=3)
+    res2 = run.run(spark, transcripts)
     parts2 = {str(r.part) for r in res2.verdicts.select("part").collect()}
     assert parts2 == set(parts) - half
 
