@@ -838,6 +838,82 @@ FROM documents
 """
 
 
+def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment: connected components over the union of
+    exact-dup and verified near-dup (Jaccard >= 0.5) edges; the oracle
+    recomputes components with a recursive-CTE transitive closure."""
+    from pacts_spark.datapipe.clusters import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    ex = exact_duplicates(docs)
+    ex_pairs = ex.select(
+        F.col("canonical_id").alias("id_a"), F.explode("ids").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    near = minhash_verified_pairs(docs, k=64, threshold=0.5).select("id_a", "id_b")
+    pairs = ex_pairs.unionByName(near)
+    return dedup_clusters(docs, pairs)
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[u.i:u.i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+  WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.5
+),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+e0 AS (SELECT * FROM jacc UNION SELECT * FROM ex),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM e0
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+)
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def _q_sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sample (per-language mixing rates) —
+    retry/partitioning-independent, nested under rate increase; oracle
+    computes the identical md5 bucket in SQL."""
+    from pacts_spark.datapipe.sampling import stratified_hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.3}, "lang", key_col="doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < CASE lang WHEN 'de' THEN 3000 WHEN 'en' THEN 5000 ELSE 1000 END
+"""
+
+
 # -- sketch queries, candidate-then-verify with exact-twin oracles ----------
 
 
@@ -1000,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_nn": _q_ivf_cosine_nn,
         "quality_filter_documents": _q_quality_filter_documents,
         "media_features": _q_media_features,
+        "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "sample_documents_stratified": _q_sample_documents_stratified,
         # sketch queries (candidate-then-verify, exact-twin oracles)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
@@ -1050,4 +1128,6 @@ FROM t
         "minhash_pairs_documents": _MINHASH_SQL,
         "simhash_pairs_documents": _simhash_sql(),
         "ann_nn_embeddings": _ann_sql(),
+        "dedup_clusters_documents": _CLUSTERS_SQL,
+        "sample_documents_stratified": _SAMPLE_SQL,
     }

@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data pipelines.
+
+``TABLESAMPLE``/``rand()`` are banned here (repo invariant: no
+nondeterminism in any output path) and executor-seeded RNG is not stable
+under retries/repartitioning. Instead: HASH sampling — a row is kept iff
+an md5-derived bucket of its key falls under the rate. Properties:
+
+- deterministic and retry/partitioning-independent (pure function of the
+  key), so resumed or re-run jobs sample the SAME rows;
+- cross-engine reproducible (md5 is md5 everywhere — the DuckDB oracle
+  computes the identical bucket);
+- composable: the (key, bucket) assignment is fixed, so raising the rate
+  strictly grows the sample (nested samples for scaling-law runs).
+
+Scale: a pure projection + filter — no shuffle, pushdown-friendly; the
+md5 is the only cost (cheap next to a scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 10000): first 8 hex chars of
+    md5(key-as-string) mod 10000 — byte-identical in DuckDB as
+    ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT) %
+    10000``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose bucket < rate*10000."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum rates (e.g. per-language mixing weights for a training
+    corpus): keep a row iff bucket(key) < rate(stratum)*10000. Strata not
+    listed get ``default_rate``. Pure projection + filter, no shuffle."""
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == F.lit(stratum)
+        val = F.lit(int(rate * _BUCKETS))
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    thr = (
+        thr.otherwise(F.lit(int(default_rate * _BUCKETS)))
+        if thr is not None
+        else F.lit(int(default_rate * _BUCKETS))
+    )
+    return df.filter(hash_bucket(F.col(key_col)) < thr)

@@ -138,3 +138,62 @@ def test_multimodal_features(spark):
     assert [r.feature for r in feats] == [r.feature for r in feats2]
     plan = frame_sample_plan(df, every_ms=1000).collect()
     assert [(r.media_id, r.frame_ts_ms) for r in plan] == [(3, 0), (3, 1000), (3, 2000)]
+
+
+def test_simhash_recall_guarantee_vs_bruteforce(spark):
+    """Pigeonhole blocking must have recall 1: for every max_hamming, the
+    blocked candidate pipeline finds EXACTLY the all-pairs Hamming <= h set
+    computed by brute force over the fingerprints."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120  # deterministic subset (limit() is not)
+    )
+    fps = {r.id: r.simhash for r in simhash64(docs).collect()}
+    ids = sorted(fps)
+    mask = (1 << 64) - 1  # simhash is a signed long; mask before popcount
+
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & mask).count("1")
+
+    for h in (1, 3, 8):
+        brute = {
+            (a, b): ham(a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if ham(a, b) <= h
+        }
+        blocked = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_pairs(docs, max_hamming=h).collect()
+        }
+        assert blocked == brute, f"recall broken at max_hamming={h}"
+
+
+def test_connected_components_known_graph(spark):
+    from pacts_spark.datapipe.clusters import connected_components, dedup_clusters
+
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, singleton edges none
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    dc = {r.doc_id: (r.cluster_id, r.is_canonical)
+          for r in dedup_clusters(None, pairs).collect()}
+    assert dc[1] == (1, True) and dc[7] == (1, False) and dc[10] == (10, True)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from pacts_spark.datapipe.sampling import hash_sample, stratified_hash_sample
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s10a = {r.doc_id for r in hash_sample(docs, 0.1).collect()}
+    s10b = {r.doc_id for r in hash_sample(docs, 0.1).collect()}
+    s30 = {r.doc_id for r in hash_sample(docs, 0.3).collect()}
+    assert s10a == s10b                      # deterministic
+    assert s10a <= s30                       # nested under rate increase
+    assert 0.05 < len(s10a) / 2000 < 0.15    # near the target rate
+    strat = docs.withColumn("g", (F.col("doc_id") % 2 == 0))
+    out = stratified_hash_sample(
+        strat.withColumn("g", F.col("g").cast("string")),
+        {"true": 0.5}, "g", default_rate=0.0).collect()
+    assert all(r.g == "true" for r in out) and len(out) > 0
