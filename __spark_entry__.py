@@ -838,6 +838,34 @@ FROM documents
 """
 
 
+def _q_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming per-event-time-window verdict aggregation
+    (streaming.windowed_verdicts), exercised on the batch path — identical
+    plan (tumbling F.window groupBy); emits epoch-second window starts
+    (all-long output for cross-engine hash parity)."""
+    from pacts_spark.streaming import windowed_verdicts
+
+    t = _transcripts(spark, sf_dir)
+    v = _engine().validate_data(t, "transcripts", "turn")
+    w = windowed_verdicts(v, window="1 hour", watermark="2 hours")
+    return w.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "pass",
+        "n_violations",
+        "n_rows",
+    )
+
+
+_WINDOWED_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_epoch,
+       (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS pass,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       count(*) AS n_rows
+FROM t GROUP BY 1
+"""
+
+
 def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment: connected components over the union of
     exact-dup and verified near-dup (Jaccard >= 0.5) edges; the oracle
@@ -1078,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
+        "windowed_verdicts": _q_windowed_verdicts,
         # sketch queries (candidate-then-verify, exact-twin oracles)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
@@ -1130,4 +1159,5 @@ FROM t
         "ann_nn_embeddings": _ann_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
+        "windowed_verdicts": _WINDOWED_SQL,
     }

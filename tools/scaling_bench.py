@@ -22,8 +22,10 @@ honest — full analysis in BENCH/BASELINE.md):
   pure-CPU process microbench; this sandbox maxes at ~0.76 efficiency
   from 8 to 32 procs even for embarrassingly parallel work).
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas]
-       (defaults: sf0.1, N=8, replicas=40 -> 4M turns)
+Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas] [reps]
+       (defaults: sf0.1, N=8, replicas=40 -> 4M turns, reps=3; use
+       replicas=160 + reps=5 on this noisy host — starvation phases
+       multi-minute long show up as 3x outlier reps)
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def pipeline():
 
 pipeline()  # warm-up: JIT, codegen, page cache
 times = []
-for _ in range(3):
+for _ in range({reps}):
     t0 = time.perf_counter(); pipeline(); times.append(time.perf_counter() - t0)
 best = min(times)
 print("RESULT " + json.dumps({{"cores": CORES, "sec": round(best, 3),
@@ -117,13 +119,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
     base = tempfile.mkdtemp(prefix="scaling_")
     try:
         run_code(MATERIALIZE_CODE.format(
             repo=str(REPO), sf_dir=sf_dir, replicas=replicas, base=base))
-        lo = run_code(PIPELINE_CODE.format(repo=str(REPO), cores=n, base=base))
-        hi = run_code(PIPELINE_CODE.format(repo=str(REPO), cores=4 * n, base=base))
+        lo = run_code(PIPELINE_CODE.format(
+            repo=str(REPO), cores=n, base=base, reps=reps))
+        hi = run_code(PIPELINE_CODE.format(
+            repo=str(REPO), cores=4 * n, base=base, reps=reps))
     finally:
         shutil.rmtree(base, ignore_errors=True)
     eff = (lo["sec"] / hi["sec"]) / 4.0
