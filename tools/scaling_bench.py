@@ -120,19 +120,42 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mode = sys.argv[5] if len(sys.argv) > 5 else "sequential"
 
     base = tempfile.mkdtemp(prefix="scaling_")
     try:
         run_code(MATERIALIZE_CODE.format(
             repo=str(REPO), sf_dir=sf_dir, replicas=replicas, base=base))
-        lo = run_code(PIPELINE_CODE.format(
-            repo=str(REPO), cores=n, base=base, reps=reps))
-        hi = run_code(PIPELINE_CODE.format(
-            repo=str(REPO), cores=4 * n, base=base, reps=reps))
+        if mode == "interleaved":
+            # alternate the two levels so each pair samples the SAME host
+            # conditions — this box has multi-minute starvation phases that
+            # otherwise bias whichever level runs during one (fresh JVM +
+            # warm-up + 1 timed rep per slot)
+            los, his = [], []
+            for _ in range(reps):
+                los.append(run_code(PIPELINE_CODE.format(
+                    repo=str(REPO), cores=n, base=base, reps=1)))
+                his.append(run_code(PIPELINE_CODE.format(
+                    repo=str(REPO), cores=4 * n, base=base, reps=1)))
+            lo = min(los, key=lambda r: r["sec"])
+            hi = min(his, key=lambda r: r["sec"])
+            lo["reps"] = [r["sec"] for r in los]
+            hi["reps"] = [r["sec"] for r in his]
+            pair_effs = [round((a["sec"] / b["sec"]) / 4.0, 3)
+                         for a, b in zip(los, his)]
+        else:
+            lo = run_code(PIPELINE_CODE.format(
+                repo=str(REPO), cores=n, base=base, reps=reps))
+            hi = run_code(PIPELINE_CODE.format(
+                repo=str(REPO), cores=4 * n, base=base, reps=reps))
+            pair_effs = None
     finally:
         shutil.rmtree(base, ignore_errors=True)
     eff = (lo["sec"] / hi["sec"]) / 4.0
-    print(json.dumps({"N": lo, "4N": hi, "efficiency": round(eff, 3)}))
+    out = {"N": lo, "4N": hi, "efficiency": round(eff, 3)}
+    if pair_effs is not None:
+        out["pair_efficiencies"] = pair_effs
+    print(json.dumps(out))
     print("Update BENCH/BASELINE.md with these numbers if they supersede "
           "the recorded run (see that file for the reporting template).")
 
