@@ -72,9 +72,12 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels.unpersist()  # no-op on round 0's unpersisted frame
         labels = new_labels
         if changed == 0:
+            # the returned frame stays persisted: its lineage spans every
+            # round, so dropping the cache would re-run the whole loop on
+            # the caller's first action
             break
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
