@@ -878,8 +878,10 @@ FROM t GROUP BY 1
 
 def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment: connected components over the union of
-    exact-dup and verified near-dup (Jaccard >= 0.5) edges; the oracle
-    recomputes components with a recursive-CTE transitive closure."""
+    exact-dup and verified near-dup (Jaccard >= 0.5) edges — every
+    document gets a row (unpaired docs are singleton canonicals); the
+    oracle recomputes components with a recursive-CTE transitive
+    closure."""
     from pacts_spark.datapipe.clusters import dedup_clusters
 
     docs = _load(spark, sf_dir, "documents")
@@ -922,7 +924,7 @@ edges AS (
   UNION
   SELECT id_b AS src, id_a AS dst FROM e0
 ),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
+nodes AS (SELECT doc_id AS id FROM documents),
 reach(id, r) AS (
   SELECT id, id FROM nodes
   UNION
@@ -956,10 +958,11 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
 
 
 def _q_minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidates (k=64 single-hash bands) re-scored with EXACT
+    """MinHash LSH candidates (k=64, 2-row bands) re-scored with EXACT
     Jaccard: output equals the exact all-pairs Jaccard >= 0.5 set up to a
-    (1-j)^64 ~ 5e-20 miss bound (dedup.minhash_verified_pairs docstring) —
-    oracled against the exact all-pairs SQL."""
+    (1-j^2)^32 ~ 2e-4 miss bound (dedup.minhash_verified_pairs docstring;
+    verified exactly equal at sf0.01 AND sf0.1) — oracled against the
+    exact all-pairs SQL."""
     docs = _load(spark, sf_dir, "documents")
     return minhash_verified_pairs(docs, k=64, threshold=0.5)
 
@@ -1038,6 +1041,9 @@ def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver checks the banding/bucketing/re-rank logic end to end."""
     emb = _load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    # the SQL twin's plane literals are generated for dim=64 — fail loudly
+    # rather than let a dim drift surface as a baffling parity mismatch
+    assert dim == 64, f"_ann_sql() hyperplanes are dim=64, embeddings are dim={dim}"
     return lsh_ann_topk(
         emb, dim=dim, k=1, n_planes=_ANN_PLANES, bands=_ANN_BANDS
     ).select("vec_id", "nn_id")

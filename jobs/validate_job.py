@@ -78,7 +78,12 @@ def main() -> None:
         transcripts = transcripts_from_events(events)
         convs = conversations_dim(events)
     else:
-        transcripts = spark.read.parquet(args.transcripts)
+        # path (contains / or .parquet) → parquet scan; otherwise a
+        # catalog table identifier (e.g. iceberg.prod.transcripts)
+        if "/" in args.transcripts or args.transcripts.endswith(".parquet"):
+            transcripts = spark.read.parquet(args.transcripts)
+        else:
+            transcripts = spark.read.table(args.transcripts)
         convs = None
 
     out = run.run_and_write(

@@ -26,8 +26,9 @@ def column_stats(
     rsd: float = 0.01,
 ) -> DataFrame:
     """Long-form stats: one output row per (partition, column) with
-    null_rate, n_nulls, n_rows, distinct; min/max as strings (heterogeneous
-    column types in one long-form table).
+    null_ppm (integer parts-per-million null rate), n_nulls, n_rows,
+    n_distinct; min/max as strings (heterogeneous column types in one
+    long-form table).
 
     Single scan + single shuffle for all columns: per-column aggregates are
     computed wide (one groupBy), then unpivoted with ``stack`` — Catalyst

@@ -80,19 +80,31 @@ def connected_components(
             # the caller's first action
             break
     else:
+        labels.unpersist()
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def dedup_clusters(
-    df: DataFrame,
+    df: DataFrame | None,
     pairs: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Cluster assignment for deduplication: every document that appears in
-    a dup pair gets (doc_id, cluster_id, is_canonical); canonical = the
-    min-id member, the row a dedup pipeline KEEPS."""
+    """Cluster assignment for deduplication: (doc_id, cluster_id,
+    is_canonical); canonical = the min-id member, the row a dedup pipeline
+    KEEPS. With ``df`` given, EVERY document gets a row — documents in no
+    dup pair are their own singleton cluster (canonical); with ``df=None``
+    only paired documents are returned."""
     cc = connected_components(pairs)
+    if df is not None:
+        cc = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(cc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
     return cc.select(
         "doc_id",
         "cluster_id",

@@ -36,11 +36,18 @@ def hash_bucket(key: Column) -> Column:
     )
 
 
+def _threshold(rate: float) -> int:
+    # round, don't truncate: int(0.57 * 10000) == 5699 (binary float), which
+    # silently drops one bucket vs the documented `bucket < rate*10000`
+    # contract and diverges from an oracle that writes the literal 5700
+    return int(round(rate * _BUCKETS))
+
+
 def hash_sample(
     df: DataFrame, rate: float, key_col: str = "doc_id"
 ) -> DataFrame:
     """Uniform deterministic sample: keep rows whose bucket < rate*10000."""
-    return df.filter(hash_bucket(F.col(key_col)) < int(rate * _BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col)) < _threshold(rate))
 
 
 def stratified_hash_sample(
@@ -56,11 +63,11 @@ def stratified_hash_sample(
     thr = None
     for stratum, rate in sorted(rates.items()):
         cond = F.col(stratum_col) == F.lit(stratum)
-        val = F.lit(int(rate * _BUCKETS))
+        val = F.lit(_threshold(rate))
         thr = F.when(cond, val) if thr is None else thr.when(cond, val)
     thr = (
-        thr.otherwise(F.lit(int(default_rate * _BUCKETS)))
+        thr.otherwise(F.lit(_threshold(default_rate)))
         if thr is not None
-        else F.lit(int(default_rate * _BUCKETS))
+        else F.lit(_threshold(default_rate))
     )
     return df.filter(hash_bucket(F.col(key_col)) < thr)

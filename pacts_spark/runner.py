@@ -211,7 +211,7 @@ class ValidationRun:
                     input joined with violation counts read back from the
                     WRITTEN violations (kilobytes), then manifest record.
 
-        Returns {"violations_path", "verdicts_path", "n_violations"}.
+        Returns {"violations_path", "verdicts_path"}.
         """
         part = day_part()
         if self.manifest is not None:

@@ -24,7 +24,7 @@ def docs(spark):
         (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
         (3, "the quick brown fox jumps over the lazy cat"),          # near dup
         (4, "completely different content about spark engines"),
-        (5, "  the   quick  brown fox jumps over the lazy dog "),    # ws-normalized dup of 1
+        (5, "  the   quick  brown fox jumps over the lazy dog "),    # md5-fingerprint dup of 1 (multi-space runs make its TOKENS differ)
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -180,6 +180,11 @@ def test_connected_components_known_graph(spark):
     dc = {r.doc_id: (r.cluster_id, r.is_canonical)
           for r in dedup_clusters(None, pairs).collect()}
     assert dc[1] == (1, True) and dc[7] == (1, False) and dc[10] == (10, True)
+    # with the full document set, unpaired docs become singleton canonicals
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 10, 11, 99)], "doc_id long")
+    full = {r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert full[99] == (99, True) and full[7] == (1, False) and len(full) == 7
 
 
 def test_hash_sample_deterministic_and_nested(spark):

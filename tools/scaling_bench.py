@@ -22,10 +22,12 @@ honest — full analysis in BENCH/BASELINE.md):
   pure-CPU process microbench; this sandbox maxes at ~0.76 efficiency
   from 8 to 32 procs even for embarrassingly parallel work).
 
-Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas] [reps]
-       (defaults: sf0.1, N=8, replicas=40 -> 4M turns, reps=3; use
-       replicas=160 + reps=5 on this noisy host — starvation phases
-       multi-minute long show up as 3x outlier reps)
+Usage: python tools/scaling_bench.py [sf_dir] [N] [replicas] [reps] [mode]
+       (defaults: sf0.1, N=8, replicas=40 -> 4M turns, reps=3, mode=
+       sequential; mode=interleaved alternates N/4N pairs so both levels
+       sample the same host conditions. Use replicas=160 + reps>=4 on
+       this noisy host — multi-minute starvation phases show up as 3x
+       outlier reps)
 """
 
 from __future__ import annotations
