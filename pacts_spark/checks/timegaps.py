@@ -56,8 +56,6 @@ class TDigest:
         self.weights: list[float] = []
 
     def add_sorted(self, values, weights=None) -> None:
-        import bisect
-
         if weights is None:
             weights = [1.0] * len(values)
         merged_m = []
