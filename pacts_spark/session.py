@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # throughput GC: G1 (the JVM default) collapsed under 32 concurrent
+        # tasks' allocation pressure — the identical 16M-row pipeline ran
+        # 39.3 s with G1 and 17.1 s with ParallelGC (measured round 2,
+        # BENCH/BASELINE.md). Batch validation wants max throughput, not
+        # pause bounds. On a cluster, set the same via
+        # spark.executor.defaultJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -88,9 +88,16 @@ n_turns = t.count()
 run = ValidationRun(engine)
 
 def pipeline():
+    # production shape: materialize the violations table ONCE (persist);
+    # the verdict aggregation then reads the cache instead of re-running
+    # all four check branches — the lazy two-action form repaid the whole
+    # scan per action (measured ~1.8x slower); run_and_write is the
+    # disk-backed equivalent
     res = run.run(spark, t, conversations=convs, tools=tools)
-    res.verdicts.collect()
+    res.violations.persist()
     res.violations.count()
+    res.verdicts.collect()
+    res.violations.unpersist()
 
 pipeline()  # warm-up: JIT, codegen, page cache
 times = []
