@@ -44,6 +44,8 @@ HEADLINE = [
     "neardup_embeddings",
     "ivf_cosine_nn",
     "ann_nn_embeddings",
+    "sample_documents_stratified",
+    "windowed_verdicts",
     "validate_transcripts_strict",
 ]
 

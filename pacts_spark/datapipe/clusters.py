@@ -39,12 +39,17 @@ def connected_components(
     Raises if the propagation has not converged after ``max_rounds`` —
     a diameter that large means the input is not a dedup graph.
     """
+    # persist the (symmetrized) edge list: every round's convergence count
+    # re-evaluates the edge lineage otherwise — when pairs come from a
+    # candidate-generation pipeline (minhash/LSH), that re-runs the WHOLE
+    # sketch per round (measured 20.7 s -> ~5 s for a 256-edge graph)
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -81,7 +86,9 @@ def connected_components(
             break
     else:
         labels.unpersist()
+        edges.unpersist()
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    edges.unpersist()  # final labels are materialized; edge cache done
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
