@@ -230,6 +230,52 @@ def json_mode_validator(schema: dict):
     return _validate
 
 
+def json_mode_dispatch_validator(schemas: dict[str, dict], spark=None):
+    """ONE vectorized pandas UDF for mixed-coordinate envelope validation:
+    ``errors = udf(category, name, data_json)``.
+
+    Replaces the per-schema CASE fan-out (round-2 engine.py:120-131):
+    Catalyst extracts Python UDFs out of CASE expressions and evaluates
+    every branch UNCONDITIONALLY (one ArrowEvalPython per UDF), so S
+    registered schemas cost S Arrow passes per row with S-1 results
+    discarded. Here the per-row (category, name) dispatch happens INSIDE
+    one UDF against a broadcast ``{category/name: schema}`` dict — one
+    Arrow pass regardless of registry size (VERDICT r2 item 1).
+
+    Unknown coordinates get the validator-level 2-part string
+    ``Schema not found: {category}/{name}`` (Validator.java:68); payload
+    semantics are identical to :func:`json_mode_validator` (same
+    oracle.validate_data per row, same malformed-JSON catch-all).
+    """
+    import json as _json
+
+    # ship the registry once per executor, not once per task closure
+    bc = spark.sparkContext.broadcast(dict(schemas)) if spark is not None else None
+    local = dict(schemas) if bc is None else None
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _validate(cat: pd.Series, nam: pd.Series, data: pd.Series) -> pd.Series:
+        table = bc.value if bc is not None else local
+        out = []
+        for c, n, raw in zip(cat, nam, data):
+            schema = table.get(f"{c}/{n}")
+            if schema is None:
+                out.append([E.schema_not_found(c, n)])
+                continue
+            if raw is None:
+                out.append(oracle.validate_data(None, schema).errors)
+                continue
+            try:
+                d = _json.loads(raw)
+            except Exception as exc:  # noqa: BLE001
+                out.append([E.validation_error(str(exc))])
+                continue
+            out.append(oracle.validate_data(d, schema).errors)
+        return pd.Series(out)
+
+    return _validate
+
+
 def attach_validation_json(
     df: DataFrame,
     schema: dict,

@@ -36,7 +36,7 @@ from pacts_spark.compiler import (
     attach_validation_json,
     compile_relational,
     errors_column,
-    json_mode_validator,
+    json_mode_dispatch_validator,
 )
 from pacts_spark.registry import SchemaRegistry
 
@@ -93,9 +93,11 @@ class PactsEngine:
         envelope DataFrame (columns: ``header`` struct, ``data`` raw-JSON
         string — model.parse_envelopes output).
 
-        Mixed coordinates are handled with a compiled CASE over the
-        registry's known (category, name) pairs — one pandas-UDF branch per
-        schema, selected per-row; unknown coordinates get the dynamic
+        Mixed coordinates are handled by ONE dispatching pandas UDF over
+        (category, name, data) against a broadcast schema dict — one Arrow
+        pass per row regardless of registry size (a per-schema CASE of
+        UDF branches is evaluated unconditionally by Catalyst: S schemas
+        would cost S passes). Unknown coordinates get the dynamic
         ``Schema not found: {category}/{name}`` string (Validator.java:68).
         """
         h = F.col("header")
@@ -116,19 +118,12 @@ class PactsEngine:
             )
         )
 
-        # per-(category,name) schema dispatch, compiled once each
-        dispatch: Column | None = None
-        for key, schema in sorted(self.registry.as_validator_dict().items()):
-            c, n = key.split("/", 1)
-            branch = json_mode_validator(schema)(F.col("data"))
-            cond = (cat == F.lit(c)) & (nam == F.lit(n))
-            dispatch = (
-                F.when(cond, branch) if dispatch is None else dispatch.when(cond, branch)
-            )
-        not_found = F.array(F.format_string("Schema not found: %s/%s", cat, nam))
-        schema_errs = (
-            dispatch.otherwise(not_found) if dispatch is not None else not_found
+        # single-dispatch: one pandas UDF resolves (category, name) → schema
+        # inside Python per Arrow batch (compiler.json_mode_dispatch_validator)
+        dispatch_udf = json_mode_dispatch_validator(
+            self.registry.as_validator_dict(), spark=df.sparkSession
         )
+        schema_errs = dispatch_udf(cat, nam, F.col("data"))
         # schema lookup + data validation only when both coords present
         # (Validator.java:61-74)
         schema_errs = F.when(~blank(cat) & ~blank(nam), schema_errs).otherwise(

@@ -120,6 +120,23 @@ def test_envelope_lifecycle(spark, engine):
     assert list(out[4].errors) == ["Header is required"]
 
 
+def test_envelope_dispatch_single_arrow_pass(spark, engine, registry):
+    """validate_envelopes must cost ONE ArrowEvalPython node regardless of
+    registry size: the per-(category,name) dispatch happens inside one
+    pandas UDF, not as a CASE of per-schema UDF branches (Catalyst
+    evaluates CASE'd Python UDFs unconditionally — S schemas would mean S
+    Arrow passes per row)."""
+    assert len(registry.as_validator_dict()) >= 2  # dispatch is non-trivial
+    df = spark.createDataFrame(
+        [(("v1", "inventory", "inventory_item", None, None), "{}")],
+        "header struct<schema_version:string,schema_category:string,"
+        "schema_name:string,timestamp:string,content_type:string>, data string",
+    )
+    out = engine.validate_envelopes(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_explode_violations_order(spark, engine):
     df = spark.createDataFrame(
         [("c1", 2, None, None, None), ("c1", 1, None, "x", 2.0)],
