@@ -996,13 +996,21 @@ def _q_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs with the pigeonhole recall guarantee
     (max_hamming+1 chunks) and an md5-prefix token hash computable
     identically in DuckDB — the oracle recomputes the fingerprints in SQL
-    and checks the exact all-pairs Hamming <= h set."""
+    and checks the exact all-pairs Hamming <= h set.
+
+    ``small_corpus=True`` is a deliberate oracle-richness choice: h=8 on
+    60 bits gives 9 chunks of ~6 bits — a 64-value keyspace per chunk
+    that degrades toward all-pairs at corpus scale (the operator guard
+    would reject it). It stays because the wide Hamming radius surfaces
+    thousands of verifiable pairs from the small test corpus; production
+    parameters are the operator default (64 bits, h=3, 16-bit chunks)."""
     docs = _load(spark, sf_dir, "documents")
     return simhash_near_pairs(
         docs,
         max_hamming=_SIMHASH_MAX_HAMMING,
         token_hash="md5_60",
         bits=_SIMHASH_BITS,
+        small_corpus=True,
     )
 
 

@@ -296,6 +296,13 @@ def simhash64(
     materialized in its own projection FIRST — otherwise Catalyst
     re-evaluates tokenize+hash once per bit (the measured 20x minhash
     re-evaluation trap)."""
+    if token_hash == "md5_60" and bits > 60:
+        # md5_60 is a 60-bit hash: fingerprint bits 60..63 would be
+        # constant-sign noise and chunk blocking over them dead weight
+        raise ValueError(
+            f"token_hash='md5_60' provides 60 hash bits; bits={bits} > 60 "
+            "would leave the top fingerprint bits constant — pass bits<=60"
+        )
     toks = F.array_distinct(_tokens(F.col(text_col)))
     hashed = df.select(
         F.col(id_col).alias("id"),
@@ -338,16 +345,34 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     token_hash: str = "xxhash64",
     bits: int = 64,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with a RECALL GUARANTEE: block on
     ``max_hamming + 1`` bit-chunks of the fingerprint — by pigeonhole, any
     pair within Hamming ≤ max_hamming differs in at most max_hamming chunks
     and therefore shares at least one identical chunk. Exact Hamming
     verification with bit_count drops false candidates, so the output is
-    EXACTLY the all-pairs Hamming ≤ max_hamming set."""
+    EXACTLY the all-pairs Hamming ≤ max_hamming set.
+
+    SCALE GUARD: the blocking keyspace per chunk is 2^chunk_width, and
+    chunk_width = bits/(max_hamming+1). Below ~12 bits (4096 distinct
+    values per chunk) the candidate join degrades toward all-pairs as N
+    grows — the default (bits=64, max_hamming=3 → 16-bit chunks) is the
+    scale-safe shape. Narrower chunks (a large max_hamming on few bits)
+    must opt in with ``small_corpus=True``, which declares the corpus
+    small enough that ~N²/2^chunk_width candidates are acceptable."""
     if not 0 <= max_hamming < bits:
         raise ValueError("max_hamming must be in [0, bits)")
     n_chunks = max_hamming + 1
+    min_width = bits // n_chunks
+    if min_width < 12 and not small_corpus:
+        raise ValueError(
+            f"simhash blocking chunks are only {min_width} bits wide "
+            f"(bits={bits}, max_hamming={max_hamming}): a {2**min_width}-value "
+            "keyspace per chunk degrades toward all-pairs at corpus scale. "
+            "Use more bits / a smaller max_hamming, or pass small_corpus=True "
+            "to accept quadratic candidate growth on a small corpus"
+        )
     fps = simhash64(df, text_col, id_col, token_hash=token_hash, bits=bits)
 
     def chunk_col(off: int, w: int) -> Column:

@@ -37,10 +37,13 @@ def hash_bucket(key: Column) -> Column:
 
 
 def _threshold(rate: float) -> int:
-    # round, don't truncate: int(0.57 * 10000) == 5699 (binary float), which
-    # silently drops one bucket vs the documented `bucket < rate*10000`
-    # contract and diverges from an oracle that writes the literal 5700
-    return int(round(rate * _BUCKETS))
+    # round half-UP, don't truncate and don't banker's-round:
+    # int(0.57 * 10000) == 5699 (binary float) silently drops one bucket vs
+    # the documented `bucket < rate*10000` contract, and Python's round()
+    # is round-half-even (rate=0.00005 → 0.5 → 0 kept buckets). The
+    # explicit rule is floor(rate*10000 + 0.5): a rate landing exactly on a
+    # half-bucket keeps the bucket.
+    return int(rate * _BUCKETS + 0.5)
 
 
 def hash_sample(

@@ -1,25 +1,29 @@
 """Similarity search over an embedding column (array<float>).
 
 - :func:`cosine_topk` / :func:`cosine_pairs` — EXACT brute force, but
-  distributed as a block-nested-loop: candidates are hash-assigned to
-  ``n_chunks`` deterministic chunks, queries are replicated to every
-  chunk, and each (chunk) group does ONE BLAS matmul inside
-  applyInPandas. No driver-side collect anywhere: the only data movement
-  is the chunk shuffle (queries x n_chunks + candidates x 1), and the
-  per-chunk candidate matrix is bounded to fit executor memory by
-  choosing n_chunks ~ corpus_bytes / executor_mem at scale. Partial
-  top-k per chunk, global top-k via a window — exact results, O(N^2)
-  compute spread over the cluster.
+  distributed as a GRID block-nested-loop: the (query x candidate)
+  plane is tiled into ``n_query_chunks x n_chunks`` hash blocks, and
+  each block group does ONE BLAS matmul inside applyInPandas. No
+  driver-side collect anywhere; BOTH sides of a block are bounded
+  (|C|/n_chunks candidates AND |Q|/n_query_chunks queries per task), so
+  executor memory is controlled by choosing each chunk count ~
+  side_bytes / executor_mem at scale. Shuffle volume = candidates x
+  n_query_chunks + queries x n_chunks. Partial top-k per block, global
+  top-k via a window — exact results, O(N^2) compute spread over the
+  cluster.
 
 - :func:`ivf_topk` — IVF cells: shuffle once on the cell id, dense
   matmul per cell; the sub-quadratic ANN shape.
 
 - :func:`lsh_ann_topk` — random-hyperplane LSH (signed projections →
-  bit signature → band buckets). The band explode / self-join / dedup
-  carry IDS ONLY (the embedding re-attaches via two joins just before
-  exact re-ranking), so the shuffle is bands x (id, bucket), never
-  bands x vectors. Hyperplanes come from a seeded RNG on the driver and
-  ship as literals — deterministic, no RNG on executors.
+  bit signature → band buckets) with BUCKET-LOCAL scoring: vectors
+  ride the band explode once (shuffle = bands x corpus, a predictable
+  bound) into a groupBy(band, bucket) dense matmul emitting per-query
+  partial top-k — candidate pairs never materialize with vectors
+  attached. Buckets above ``max_bucket`` rows are split into a
+  sub-grid (the cosine_topk tiling) so a skewed signature never
+  becomes one O(bucket²) task. Hyperplanes come from a seeded RNG on
+  the driver and ship as literals — deterministic, no RNG on executors.
 """
 
 from __future__ import annotations
@@ -56,22 +60,36 @@ def _chunked_union(
     id_col: str,
     vec_col: str,
     n_chunks: int,
+    n_query_chunks: int = 1,
 ) -> DataFrame:
-    """Union frame for the block-nested-loop: candidates tagged with a
-    deterministic hash chunk, queries replicated to every chunk."""
+    """Union frame for the GRID block-nested-loop: the (query x candidate)
+    plane is tiled into ``n_query_chunks x n_chunks`` blocks. A candidate
+    hashes into ONE c-chunk and replicates across q-chunks; a query hashes
+    into ONE q-chunk and replicates across c-chunks; the group key is
+    ``q_chunk * n_chunks + c_chunk``. Every (query, candidate) pair meets
+    in exactly one block, and each block holds ~|C|/n_chunks candidates
+    AND ~|Q|/n_query_chunks queries — both sides of the per-task matmul
+    are bounded (n_query_chunks=1 keeps the query side whole, fine when
+    the query set is small; raise it when queries ARE the corpus)."""
     cand = candidates.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("chunk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_chunks - 1))).alias("qc"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("cc"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.lit("c").alias("side"),
     )
     qry = queries.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_chunks))
+        .cast("int")
+        .alias("qc"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("cc"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.lit("q").alias("side"),
     )
-    return cand.unionByName(qry)
+    return cand.unionByName(qry).select(
+        (F.col("qc") * n_chunks + F.col("cc")).alias("chunk"), "id", "v", "side"
+    )
 
 
 def cosine_topk(
@@ -81,20 +99,21 @@ def cosine_topk(
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
     n_chunks: int = 8,
+    n_query_chunks: int = 1,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, nn_id, rank, cosine).
 
-    Distributed block-nested-loop (module docstring): per-chunk partial
-    top-k inside applyInPandas (one matmul per chunk), then a global
-    window merges the n_chunks partials. Exact because the global top-k
-    is a subset of the union of per-chunk top-ks. Deterministic
+    Distributed grid block-nested-loop (module docstring): per-block
+    partial top-k inside applyInPandas (one matmul per block), then a
+    global window merges the partials. Exact because the global top-k
+    is a subset of the union of per-block top-ks. Deterministic
     tie-break: higher sim first, then smaller neighbor id.
     """
     import numpy as np
     import pandas as pd
 
     cand = candidates if candidates is not None else df
-    union = _chunked_union(df, cand, id_col, vec_col, n_chunks)
+    union = _chunked_union(df, cand, id_col, vec_col, n_chunks, n_query_chunks)
     kk = k
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -138,15 +157,19 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_chunks: int = 8,
+    n_query_chunks: int = 1,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — the exact
     near-duplicate detector over embeddings, distributed (module
     docstring). Each pair (a, b) with a < b is emitted exactly once: in
-    the chunk that owns candidate b, where query a meets it."""
+    the grid block owning (query a's q-chunk, candidate b's c-chunk).
+    Both sides here are the full corpus, so at scale raise
+    ``n_query_chunks`` alongside ``n_chunks`` — per-task memory is
+    |corpus|/n_query_chunks + |corpus|/n_chunks rows."""
     import numpy as np
     import pandas as pd
 
-    union = _chunked_union(df, df, id_col, vec_col, n_chunks)
+    union = _chunked_union(df, df, id_col, vec_col, n_chunks, n_query_chunks)
     thr = threshold
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -242,6 +265,7 @@ def lsh_ann_topk(
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -249,10 +273,15 @@ def lsh_ann_topk(
     candidates share ≥1 band bucket; exact cosine re-rank inside candidates.
     Recall rises with bands (more, smaller bands → more candidates).
 
-    Scale shape: the band explode, self-join and distinct() move ONLY
-    (id, band, bucket) — the vectors re-attach via two id-keyed joins on
-    the deduplicated candidate pairs before the exact re-rank, so the
-    shuffle never carries bands x embedding.
+    Scale shape: BUCKET-LOCAL scoring (see module docstring) — one band
+    explode carrying (id, v), one groupBy(band, bucket) matmul per
+    bucket, per-query partial top-k out. Buckets above ``max_bucket``
+    rows (skewed signatures, or n_planes too small for the corpus) are
+    tiled into a sub-grid of hash blocks so no task's input exceeds
+    ~2*max_bucket rows and no task's compute exceeds ~max_bucket² — the
+    hot-bucket O(bucket²) failure mode is structurally capped. Scale
+    n_planes with corpus size regardless: the cap bounds the damage of a
+    too-small keyspace, not its candidate volume.
     """
     import numpy as np
     import pandas as pd
@@ -280,8 +309,7 @@ def lsh_ann_topk(
     # re-attach ships 2 vectors PER CANDIDATE PAIR (unbounded — measured
     # ~800 MB at just 2k vectors / 2-bit buckets), and round 1's
     # distinct() hashed full vector arrays. Hot buckets (skewed
-    # signatures) are the residual risk: at corpus scale split them with
-    # the cosine_topk chunking pattern inside the bucket.
+    # signatures) are tiled into sub-grids below.
     banded = with_sig.select(
         "id",
         "v",
@@ -325,9 +353,65 @@ def lsh_ann_topk(
                 out_s.append(float(S[i, j]))
         return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
 
-    partials = banded.groupBy("band", "bucket").applyInPandas(
+    # hot-bucket cap: buckets above max_bucket rows take the grid path —
+    # each row is a candidate in ONE (gq, gc) sub-block and a query
+    # replicated across its gq row of blocks, so per-task input is
+    # ~2*(bucket/n_sub) <= ~2*max_bucket rows. Small buckets keep the
+    # single-matmul fast path (one role per row, no replication). The
+    # bucket-size join shuffles on the same (band, bucket) key as the
+    # scoring groupBy, so AQE plans it alongside.
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    sized = banded.join(sizes, ["band", "bucket"])
+    cold = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    cold_partials = cold.groupBy("band", "bucket").applyInPandas(
         bucket_topk, "qid long, cid long, sim double"
     )
+
+    hot = sized.filter(F.col("bsize") > max_bucket)
+    n_sub = F.ceil(F.col("bsize") / F.lit(max_bucket)).cast("int")
+    sub_of = F.pmod(F.xxhash64("id"), n_sub).cast("int")
+    hot_q = hot.select(
+        "band", "bucket", sub_of.alias("gq"),
+        F.explode(F.sequence(F.lit(0), n_sub - 1)).alias("gc"),
+        "id", "v", F.lit("q").alias("side"),
+    )
+    hot_c = hot.select(
+        "band", "bucket",
+        F.explode(F.sequence(F.lit(0), n_sub - 1)).alias("gq"),
+        sub_of.alias("gc"),
+        "id", "v", F.lit("c").alias("side"),
+    )
+
+    def grid_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["side"] == "q"]
+        c = pdf[pdf["side"] == "c"]
+        if q.empty or c.empty:
+            return pd.DataFrame({"qid": [], "cid": [], "sim": []})
+        qids = q["id"].to_numpy()
+        cids = c["id"].to_numpy()
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        S[qids[:, None] == cids[None, :]] = -np.inf
+        out_q, out_c, out_s = [], [], []
+        for i in range(S.shape[0]):
+            order = np.lexsort((cids, -S[i]))[:kk]
+            for j in order:
+                if S[i, j] == -np.inf:
+                    continue
+                out_q.append(qids[i])
+                out_c.append(cids[j])
+                out_s.append(float(S[i, j]))
+        return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+
+    hot_partials = (
+        hot_q.unionByName(hot_c)
+        .groupBy("band", "bucket", "gq", "gc")
+        .applyInPandas(grid_topk, "qid long, cid long, sim double")
+    )
+    partials = cold_partials.unionByName(hot_partials)
     # same pair can surface from several bands — dedup on ids (sims equal)
     scored = partials.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())

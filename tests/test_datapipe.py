@@ -64,7 +64,7 @@ def test_minhash_lsh(docs):
 def test_simhash(docs):
     fp = {r.id: r.simhash for r in simhash64(docs).collect()}
     assert fp[1] == fp[2]
-    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=10, small_corpus=True).collect()}
     assert near[(1, 2)] == 0
     assert (1, 3) in near and near[(1, 3)] <= 10
 
@@ -92,6 +92,79 @@ def test_lsh_ann_recall(spark):
     }
     hits = sum(1 for v, nn in exact.items() if approx.get(v) == nn)
     assert hits / len(exact) > 0.5  # blocked ANN finds most true NNs
+
+
+def test_cosine_grid_chunking_equivalence(spark):
+    """The 2-D grid BNL (both sides chunked) must return EXACTLY the same
+    results as the 1-D layout: every (query, candidate) pair meets in
+    exactly one block regardless of the tiling."""
+    from pacts_spark.datapipe.similarity import cosine_pairs
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+        .cache()
+    )
+    base_nn = {(r.vec_id, r.rank): r.nn_id for r in cosine_topk(emb, k=2).collect()}
+    grid_nn = {
+        (r.vec_id, r.rank): r.nn_id
+        for r in cosine_topk(emb, k=2, n_chunks=5, n_query_chunks=3).collect()
+    }
+    assert base_nn == grid_nn
+    base_pairs = {
+        (r.id_a, r.id_b): r.cosine for r in cosine_pairs(emb, 0.4).collect()
+    }
+    grid_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, 0.4, n_chunks=4, n_query_chunks=4).collect()
+    }
+    assert base_pairs == grid_pairs
+
+
+def test_lsh_ann_hot_bucket_cap(spark):
+    """Adversarial corpus: every vector has the SAME signature (one giant
+    bucket per band). The max_bucket sub-grid split must produce exactly
+    the results of the uncapped path while bounding each task's input to
+    ~2*max_bucket rows."""
+    # all vectors in a tight cone around e1 → identical sign pattern;
+    # hash-mixed perturbations keep pairwise sims distinct (exact sim ties
+    # would make the rank-by-raw-sim tie-break ulp-sensitive to the matmul
+    # block layout)
+    rows = [
+        (
+            i,
+            [100.0]
+            + [((i * 2654435761 + j * 40503) % 997) / 997.0 for j in range(7)],
+        )
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    uncapped = {
+        (r.vec_id, r.rank): r.nn_id
+        for r in lsh_ann_topk(
+            df, dim=8, k=2, n_planes=8, bands=4, max_bucket=10**6
+        ).collect()
+    }
+    capped = {
+        (r.vec_id, r.rank): r.nn_id
+        for r in lsh_ann_topk(
+            df, dim=8, k=2, n_planes=8, bands=4, max_bucket=32
+        ).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 2 * 180  # every vector found k=2 neighbors
+
+
+def test_simhash_param_guards(docs):
+    """Narrow blocking chunks (keyspace < 2^12 per chunk) must be an
+    explicit small-corpus opt-in, and a 60-bit token hash cannot feed a
+    64-bit fingerprint (dead constant bits would weaken blocking)."""
+    with pytest.raises(ValueError, match="small_corpus"):
+        simhash_near_pairs(docs, max_hamming=10)  # 64/11 → 5-bit chunks
+    with pytest.raises(ValueError, match="bits<=60"):
+        simhash64(docs, token_hash="md5_60", bits=64)
+    # scale-safe default shape passes the guard
+    simhash_near_pairs(docs, max_hamming=3)
 
 
 def test_text_stats(spark):
@@ -163,7 +236,7 @@ def test_simhash_recall_guarantee_vs_bruteforce(spark):
         }
         blocked = {
             (r.id_a, r.id_b): r.hamming
-            for r in simhash_near_pairs(docs, max_hamming=h).collect()
+            for r in simhash_near_pairs(docs, max_hamming=h, small_corpus=True).collect()
         }
         assert blocked == brute, f"recall broken at max_hamming={h}"
 
@@ -185,6 +258,18 @@ def test_connected_components_known_graph(spark):
     full = {r.doc_id: (r.cluster_id, r.is_canonical)
             for r in dedup_clusters(docs, pairs).collect()}
     assert full[99] == (99, True) and full[7] == (1, False) and len(full) == 7
+
+
+def test_sampling_threshold_rounding():
+    """Half-bucket rates round UP (deterministic floor(x+0.5), not
+    banker's rounding): 0.00005 keeps one bucket, and 0.57 is 5700 despite
+    the binary-float 5699.999… product."""
+    from pacts_spark.datapipe.sampling import _threshold
+
+    assert _threshold(0.00005) == 1
+    assert _threshold(0.57) == 5700
+    assert _threshold(0.0) == 0
+    assert _threshold(1.0) == 10000
 
 
 def test_hash_sample_deterministic_and_nested(spark):
