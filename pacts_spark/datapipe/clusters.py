@@ -5,17 +5,25 @@ training-data pipelines need the GROUPS — one canonical document per
 connected component, everything else dropped. This module turns an edge
 list into (doc_id, cluster_id = min reachable id).
 
-Scale design: iterative min-label propagation expressed as DataFrame
-joins — per round, every node takes the min of its own label and its
-neighbors' labels. Each round is one shuffle join (edges x labels) plus
-one groupBy; rounds needed = component diameter, which for dedup graphs
-is tiny (near-dup clusters are dense blobs, not chains). The round-count
-cap + convergence check (a cheap count action on changed labels) bounds
-the loop; at 10^12-doc scale swap the propagation step for the
-alternating large-star/small-star rounds (Kiveris et al., "Connected
-Components in MapReduce and Beyond") — same label algebra, O(log n)
-rounds; the per-round plan here is already shaped for it (edge-keyed
-shuffle, aggregate-only combine).
+Two algorithms behind one facade:
+
+- ``label_prop`` (default): iterative min-label propagation expressed as
+  DataFrame joins — per round, every node takes the min of its own label
+  and its neighbors' labels. Each round is one shuffle join (edges x
+  labels) plus one groupBy; rounds needed = component DIAMETER, which for
+  dedup graphs is tiny (near-dup clusters are dense blobs, not chains).
+
+- ``star``: alternating large-star/small-star rounds (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" — public literature).
+  Each round halves the height of the component trees, so convergence is
+  O(log n) rounds regardless of diameter — the 10^12-doc scale path, and
+  the right choice when the pair graph may contain long chains
+  (transitive near-dup runs). Same label algebra (min id), same output.
+
+Both return a frame whose final labels are MATERIALIZED via
+localCheckpoint: lineage is truncated (the caller's actions do not re-run
+the loop) and every per-round cache is released before returning — no
+cache accumulation across repeated calls in a long-lived session.
 
 Determinism: labels are min(doc_id) — no RNG, no iteration-order
 dependence (min is commutative/associative).
@@ -27,30 +35,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    pairs: DataFrame,
-    src_col: str = "id_a",
-    dst_col: str = "id_b",
-    max_rounds: int = 20,
-) -> DataFrame:
-    """(node, cluster_id) for every node appearing in ``pairs``;
-    cluster_id = the minimum node id in the node's connected component.
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set: (count, sum of
+    per-edge hashes as decimal — no long overflow under ANSI, no
+    driver-side materialization; partial aggregation keeps the shuffle
+    one row per task). Collision odds ~2^-64 per comparison — and a false
+    'converged' is additionally guarded by the groupBy-min label
+    extraction below."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sig"),
+    ).collect()[0]
+    return int(row["n"]), int(row["sig"])
 
-    Raises if the propagation has not converged after ``max_rounds`` —
-    a diameter that large means the input is not a dedup graph.
-    """
-    # persist the (symmetrized) edge list: every round's convergence count
-    # re-evaluates the edge lineage otherwise — when pairs come from a
-    # candidate-generation pipeline (minhash/LSH), that re-runs the WHOLE
-    # sketch per round (measured 20.7 s -> ~5 s for a 256-edge graph)
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+
+def _cc_star(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Large-star/small-star alternation over a canonical (src>dst) edge
+    list; returns (node, label). Converges in O(log n) rounds: large-star
+    hangs every node's strictly-larger neighbors under its local minimum,
+    small-star re-hangs each node's smaller neighbors under their
+    minimum — each pair of phases at least halves tree heights."""
+    # localCheckpoint (NOT persist) each round: the round plan references
+    # the previous frame several times (sym union + two joins), so lineage
+    # grows exponentially with rounds — by round ~10 merely FORMATTING the
+    # plan tree OOMs the JVM. Checkpointing truncates the plan to the
+    # materialized RDD; old rounds' blocks are released by the context
+    # cleaner once their frames go out of scope.
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    sig = _edge_signature(e)
+    for _ in range(max_rounds):
+        # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v ∈ Γ(u), v > u
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star on canonical (src > dst): m = min of smaller nbrs;
+        # re-hang every smaller nbr and src itself under m
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("v"), "m")
+            .filter(F.col("v") != F.col("m"))
+            .unionByName(mins2.select(F.col("src").alias("v"), "m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _edge_signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"star CC: no convergence in {max_rounds} rounds")
+    # converged edges form stars (v → component min); roots label themselves.
+    # groupBy-min guards the (astronomically unlikely) signature-collision
+    # early exit: labels are min over whatever edges exist.
+    labels = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.col("dst").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return labels.localCheckpoint(eager=True)
+
+
+def _cc_label_prop(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Min-label propagation; rounds = component diameter. Returns
+    (node, label), localCheckpointed."""
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -70,39 +142,90 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
         )
-        new_labels = new_labels.persist()
+        # localCheckpoint (NOT persist): the round plan references the
+        # previous labels frame twice (propagation join + changed check),
+        # so lineage doubles per round — past ~15 rounds even formatting
+        # the plan OOMs. Checkpointing truncates to the materialized RDD,
+        # and old rounds' blocks are context-cleaned when their frames go
+        # out of scope — nothing stays cached after return.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()  # no-op on round 0's unpersisted frame
         labels = new_labels
         if changed == 0:
-            # the returned frame stays persisted: its lineage spans every
-            # round, so dropping the cache would re-run the whole loop on
-            # the caller's first action
             break
     else:
-        labels.unpersist()
+        raise RuntimeError(
+            f"label_prop CC: no convergence in {max_rounds} rounds — the "
+            "component diameter exceeds the round budget; use "
+            "algorithm='star' (O(log n) rounds) for chain-shaped graphs"
+        )
+    # already materialized: the caller's actions never re-run the loop
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 20,
+    algorithm: str = "label_prop",
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``;
+    cluster_id = the minimum node id in the node's connected component.
+
+    ``algorithm='label_prop'`` (rounds = diameter, cheapest per round for
+    the dense-blob dedup case) or ``'star'`` (large-star/small-star,
+    O(log n) rounds — use when components may be long chains). Both raise
+    if not converged after ``max_rounds``. The result is materialized
+    (localCheckpoint): no live lineage into the loop, no retained caches.
+    """
+    # persist the (symmetrized) edge list: every round's convergence count
+    # re-evaluates the edge lineage otherwise — when pairs come from a
+    # candidate-generation pipeline (minhash/LSH), that re-runs the WHOLE
+    # sketch per round (measured 20.7 s -> ~5 s for a 256-edge graph)
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        # a (x, x) self-pair carries no connectivity; dropping it here keeps
+        # both algorithms' node sets identical (dedup_clusters(df, ...)
+        # restores unpaired docs as singletons anyway)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        if algorithm == "star":
+            labels = _cc_star(edges, max_rounds)
+        elif algorithm == "label_prop":
+            labels = _cc_label_prop(edges, max_rounds)
+        else:
+            raise ValueError(f"unknown CC algorithm: {algorithm!r}")
+    finally:
         edges.unpersist()
-        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
-    edges.unpersist()  # final labels are materialized; edge cache done
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
 
 
 def dedup_clusters(
     df: DataFrame | None,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Cluster assignment for deduplication: (doc_id, cluster_id,
     is_canonical); canonical = the min-id member, the row a dedup pipeline
     KEEPS. With ``df`` given, EVERY document gets a row — documents in no
     dup pair are their own singleton cluster (canonical); with ``df=None``
     only paired documents are returned."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, algorithm=algorithm)
     if df is not None:
         cc = (
             df.select(F.col(id_col).alias("doc_id"))

@@ -260,6 +260,40 @@ def test_connected_components_known_graph(spark):
     assert full[99] == (99, True) and full[7] == (1, False) and len(full) == 7
 
 
+def test_connected_components_star_chain(spark):
+    """The large-star/small-star algorithm must label a CHAIN graph —
+    diameter 63, far beyond label_prop's default round budget — within an
+    O(log n) round budget, with labels identical to min-label
+    propagation's on a graph both can solve."""
+    from pacts_spark.datapipe.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    # label_prop needs diameter rounds — a 6-round budget cannot close 63
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(chain, max_rounds=6)
+    # star converges well inside O(log n) rounds (2*ceil(log2(64)) = 12)
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, max_rounds=12, algorithm="star").collect()
+    }
+    assert cc == {i: 0 for i in range(64)}
+    # equality with label_prop where both converge
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 3), (10, 11), (5, 5)], "id_a long, id_b long"
+    )
+    lp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    st = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    # identical labels; the self-loop-only node 5 is dropped by BOTH
+    # (self-pairs carry no connectivity)
+    assert lp == st and 5 not in lp
+    assert lp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
 def test_sampling_threshold_rounding():
     """Half-bucket rates round UP (deterministic floor(x+0.5), not
     banker's rounding): 0.00005 keeps one bucket, and 0.57 is 5700 despite
