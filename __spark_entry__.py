@@ -746,6 +746,77 @@ FROM events
 """
 
 
+def _q_validate_orders_missing_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-level graceful miss (PactsService.validateData,
+    PactsService.java:78-89): the requested (category, name) is not in the
+    registry, so EVERY row gets the 4-part
+    ``Schema not found: {domain}/{version}/{category}/{name}`` string —
+    the Java facade's synthetic-failure path (Rust panics instead;
+    SURVEY.md §2.2 picks the graceful branch). Covers the last reference
+    error string with a driver-oracled row."""
+    orders = _load(spark, sf_dir, "orders")
+    return _engine().validate_data(orders, "tpch", "orders_v9").select(
+        "o_orderkey", "valid", "error_message"
+    )
+
+
+_ORDERS_MISSING_SCHEMA_SQL = """
+SELECT o_orderkey, FALSE AS valid,
+       'Schema not found: bees/v1/tpch/orders_v9' AS error_message
+FROM orders
+"""
+
+
+def _q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCER → CONSUMER round trip: build envelopes with the factory/serde
+    (model.envelope_json ≙ PactsService.createEnvelope + toJson,
+    PactsService.java:39-47,133-136) → parse_envelopes (parseEnvelope,
+    :127-131) → full Validator lifecycle. Covers the produce-side factory
+    (#13) and JSON serde (#16) end to end with an oracled verdict; the
+    metadata map is carried through both directions (and never validated —
+    reference parity, SURVEY.md §1.1) and re-emitted as ``meta_source``."""
+    from pacts_spark.model import envelope_json, parse_envelopes
+
+    ev = _load(spark, sf_dir, "events")
+    m = F.col("event_id") % 3
+    data = (
+        F.when(m == 0, F.col("props"))          # {"k": N} → missing v
+        .when(m == 1, F.lit('{"k": 1, "v": 2}'))  # valid
+        .otherwise(F.lit("5"))                    # top-level type failure
+    )
+    wire = envelope_json(
+        data,
+        version="v1",
+        category="events",
+        name="props_check",
+        run_ts="2026-01-01T00:00:00Z",
+        metadata=F.create_map(F.lit("source"), F.lit("roundtrip")),
+    )
+    parsed = parse_envelopes(
+        ev.select("event_id", wire.alias("value")), keep=("event_id",)
+    )
+    validated = _engine().validate_envelopes(parsed)
+    return validated.select(
+        "event_id",
+        "valid",
+        "error_message",
+        F.col("metadata").getItem("source").alias("meta_source"),
+    )
+
+
+_ENVELOPE_ROUNDTRIP_SQL = """
+SELECT event_id,
+       (event_id % 3 = 1) AS valid,
+       CASE event_id % 3
+         WHEN 0 THEN 'Required field missing: v'
+         WHEN 1 THEN 'Validation successful'
+         ELSE 'Required field missing: k; Required field missing: v; Invalid type. Expected: object'
+       END AS error_message,
+       'roundtrip' AS meta_source
+FROM events
+"""
+
+
 def _q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import cosine_pairs
 
@@ -1108,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_json": _q_validate_events_json,
         "validate_transcripts_strict": _q_validate_transcripts_strict,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
+        "validate_orders_missing_schema": _q_validate_orders_missing_schema,
+        "envelope_roundtrip": _q_envelope_roundtrip,
         "schema_version_diff": _q_schema_version_diff,
         # engine-level checks (north_star)
         "colstats_transcripts": _q_colstats_transcripts,
@@ -1173,6 +1246,8 @@ FROM t
         "cosine_nn_embeddings": _COSINE_NN_SQL,
         "validate_transcripts_strict": _VALIDATE_STRICT_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
+        "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
+        "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,
         "schema_version_diff": _SCHEMA_DIFF_SQL,
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,
