@@ -334,58 +334,55 @@ def lsh_ann_topk(
 
     kk = k
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"qid": [], "cid": [], "sim": []})
-        ids = pdf["id"].to_numpy()
-        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = Mn @ Mn.T
-        np.fill_diagonal(S, -np.inf)
-        out_q, out_c, out_s = [], [], []
-        for i in range(len(ids)):
-            order = np.lexsort((ids, -S[i]))[:kk]
-            for j in order:
-                if S[i, j] == -np.inf:
-                    continue
-                out_q.append(ids[i])
-                out_c.append(ids[j])
-                out_s.append(float(S[i, j]))
-        return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
-
-    # hot-bucket cap: buckets above max_bucket rows take the grid path —
-    # each row is a candidate in ONE (gq, gc) sub-block and a query
-    # replicated across its gq row of blocks, so per-task input is
-    # ~2*(bucket/n_sub) <= ~2*max_bucket rows. Small buckets keep the
-    # single-matmul fast path (one role per row, no replication). The
-    # bucket-size join shuffles on the same (band, bucket) key as the
-    # scoring groupBy, so AQE plans it alongside.
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bsize"))
-    sized = banded.join(sizes, ["band", "bucket"])
-    cold = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
-    cold_partials = cold.groupBy("band", "bucket").applyInPandas(
-        bucket_topk, "qid long, cid long, sim double"
-    )
-
-    hot = sized.filter(F.col("bsize") > max_bucket)
+    # hot-bucket cap, SINGLE-PASS routing: a window count over
+    # (band, bucket) sizes every bucket without a join (round-3 fix: the
+    # size-join form recomputed the 16-plane signature projection four
+    # times — sizes, cold, hot-query, hot-candidate — and added two extra
+    # shuffles; measured 11.3 s → this shape at sf0.001). Each row then
+    # emits its grid assignments inline:
+    #   cold bucket (bsize <= max_bucket): ONE (0, 0, side='b') row —
+    #     'b' = both roles, no replication, single-matmul fast path;
+    #   hot bucket: n_sub = ceil(bsize/max_bucket) hash sub-chunks; the
+    #     row is a query in its sub-row of blocks (sub_of, gc) and a
+    #     candidate in its sub-column (gq, sub_of) — every pair meets in
+    #     exactly one block, per-task input is ~2*max_bucket rows, and no
+    #     task's matmul exceeds ~max_bucket². The groupBy keys extend the
+    #     window's (band, bucket) hash partitioning, so routing + scoring
+    #     ride ONE exchange.
+    w_bb = Window.partitionBy("band", "bucket")
+    counted = banded.withColumn("bsize", F.count(F.lit(1)).over(w_bb))
     n_sub = F.ceil(F.col("bsize") / F.lit(max_bucket)).cast("int")
     sub_of = F.pmod(F.xxhash64("id"), n_sub).cast("int")
-    hot_q = hot.select(
-        "band", "bucket", sub_of.alias("gq"),
-        F.explode(F.sequence(F.lit(0), n_sub - 1)).alias("gc"),
-        "id", "v", F.lit("q").alias("side"),
-    )
-    hot_c = hot.select(
-        "band", "bucket",
-        F.explode(F.sequence(F.lit(0), n_sub - 1)).alias("gq"),
-        sub_of.alias("gc"),
-        "id", "v", F.lit("c").alias("side"),
-    )
+    subs = F.sequence(F.lit(0), n_sub - 1)
+
+    def _as_query(gc):
+        return F.struct(
+            sub_of.alias("gq"), gc.cast("int").alias("gc"), F.lit("q").alias("side")
+        )
+
+    def _as_candidate(gq):
+        return F.struct(
+            gq.cast("int").alias("gq"), sub_of.alias("gc"), F.lit("c").alias("side")
+        )
+
+    assigns = F.when(
+        F.col("bsize") <= F.lit(max_bucket),
+        F.array(
+            F.struct(
+                F.lit(0).alias("gq"), F.lit(0).alias("gc"), F.lit("b").alias("side")
+            )
+        ),
+    ).otherwise(F.concat(F.transform(subs, _as_query), F.transform(subs, _as_candidate)))
+
+    grid = counted.select(
+        "band", "bucket", "id", "v", F.explode(assigns).alias("a")
+    ).select("band", "bucket", "a.gq", "a.gc", "id", "v", "a.side")
 
     def grid_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        q = pdf[pdf["side"] == "q"]
-        c = pdf[pdf["side"] == "c"]
-        if q.empty or c.empty:
+        both = pdf["side"] == "b"
+        q = pdf[both | (pdf["side"] == "q")]
+        c = pdf[both | (pdf["side"] == "c")]
+        if q.empty or c.empty or len(pdf) < 2:
             return pd.DataFrame({"qid": [], "cid": [], "sim": []})
         qids = q["id"].to_numpy()
         cids = c["id"].to_numpy()
@@ -406,12 +403,9 @@ def lsh_ann_topk(
                 out_s.append(float(S[i, j]))
         return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
 
-    hot_partials = (
-        hot_q.unionByName(hot_c)
-        .groupBy("band", "bucket", "gq", "gc")
-        .applyInPandas(grid_topk, "qid long, cid long, sim double")
+    partials = grid.groupBy("band", "bucket", "gq", "gc").applyInPandas(
+        grid_topk, "qid long, cid long, sim double"
     )
-    partials = cold_partials.unionByName(hot_partials)
     # same pair can surface from several bands — dedup on ids (sims equal)
     scored = partials.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
