@@ -25,6 +25,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 from pacts_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -34,6 +35,7 @@ HEADLINE = [
     "validate_orders",
     "validate_events_json",
     "validate_envelopes_mixed",
+    "envelope_roundtrip",
     "colstats_transcripts",
     "drift_roles",
     "gap_quantiles",
@@ -61,8 +63,14 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footers with a cheap count
+    # warm the JVM + parquet footers with a cheap count, and the
+    # Python-worker/Arrow path with a no-op applyInPandas (first pandas-UDF
+    # stage pays ~4 s of worker startup once per session — a fixed cost
+    # amortized in production, not a property of any one operator)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    spark.range(64).groupBy(F.col("id") % 8).applyInPandas(
+        lambda p: p, "id long"
+    ).count()
 
     for name in HEADLINE:
         fn = qs[name]

@@ -206,7 +206,13 @@ def minhash_dedup_pairs(
     with estimated Jaccard (fraction of equal signature slots). Returns
     (id_a, id_b, est_jaccard ≥ threshold)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).cache()
+    # lazy localCheckpoint: the banded self-join references sigs on BOTH
+    # sides — without it the k-permutation projection runs twice (measured
+    # ~25% of query wall at sf0.1). Checkpoint blocks release when the
+    # frame is GC'd (no unpersist handle needed — ADVICE round-2 pattern).
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
@@ -261,7 +267,11 @@ def minhash_verified_pairs(
     (the DuckDB oracle twin) up to the miss bound. Shuffle cost: the band
     explode carries (id, band, bucket) only; shingle arrays travel only
     for candidate pairs (the verification join), never all-pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed)
+    # lazy localCheckpoint: sigs feeds both sides of the band self-join
+    # (see minhash_dedup_pairs) — one signature pass instead of two
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(
         sigs, bands=k // rows_per_band, rows_per_band=rows_per_band
     )
