@@ -68,8 +68,14 @@ def main() -> None:
     # stage pays ~4 s of worker startup once per session — a fixed cost
     # amortized in production, not a property of any one operator)
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    spark.range(64).groupBy(F.col("id") % 8).applyInPandas(
-        lambda p: p, "id long"
+
+    def _warm(p):
+        import numpy  # noqa: F401 — warm the worker's numpy import too
+
+        return p
+
+    spark.range(4096).groupBy(F.col("id") % (4 * cores)).applyInPandas(
+        _warm, "id long"
     ).count()
 
     for name in HEADLINE:

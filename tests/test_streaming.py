@@ -114,3 +114,89 @@ def test_stream_restart_resumes_exactly_once(spark, engine, tmp_path):
     # third run with NO new data: nothing changes
     run_available()
     assert spark.read.parquet(str(out_valid)).count() == 2
+
+
+def test_conversation_state_verdicts_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    turn-order state across micro-batches — cross-batch regressions are
+    caught, and the event-time timeout emits a FINAL row and drops state
+    (bounded-state contract)."""
+    import json
+
+    from pacts_spark.streaming import conversation_state_verdicts
+
+    src = tmp_path / "st_src"
+    out = tmp_path / "st_out"
+    ckpt = tmp_path / "st_ckpt"
+    src.mkdir()
+    T0 = "2026-01-01 00:"
+
+    def ts(minutes):  # minutes from T0, all < 1 hour here; hours via 60*
+        h, m = divmod(minutes, 60)
+        return f"2026-01-01 {h:02d}:{m:02d}:00"
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"conv_id": c, "turn_idx": t, "ts": ts(m)})
+                for c, t, m in rows
+            )
+        )
+
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def run_available():
+        stream = spark.readStream.schema(schema).json(str(src))
+        verdicts = conversation_state_verdicts(
+            stream, watermark="2 hours", ttl_ms=2 * 3600 * 1000
+        )
+
+        def sink(batch, batch_id):
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(out))
+
+        q = (
+            verdicts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: c1 in order, c2 one turn
+    write_batch("b0.json", [("c1", 1, 0), ("c1", 2, 1), ("c1", 3, 2), ("c2", 5, 0)])
+    run_available()
+    rows = {r.conv_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows["c1"].n_turns == 3 and rows["c1"].max_turn_idx == 3
+    assert rows["c1"].n_regressed == 0 and rows["c1"].monotonic
+    assert rows["c2"].max_turn_idx == 5 and not rows["c2"].is_final
+
+    # batch 1: c1 REGRESSES across the batch boundary (turn 2 <= max 3);
+    # c3 far in the future pushes the watermark past c1/c2's ttl
+    write_batch("b1.json", [("c1", 2, 3), ("c3", 1, 600)])
+    run_available()
+    upd = [
+        r
+        for r in spark.read.parquet(str(out)).collect()
+        if r.conv_id == "c1" and r.n_turns == 4 and not r.is_final
+    ]
+    assert len(upd) == 1
+    assert upd[0].n_regressed == 1 and not upd[0].monotonic
+
+    # batch 2: dummy conversation; the advanced watermark (~600-120 min)
+    # fires the timeouts for c1 and c2 -> FINAL rows, state dropped
+    # (availableNow may already fire them in a trailing batch of run 2 —
+    # either way the finals exist exactly once after run 3)
+    write_batch("b2.json", [("c4", 1, 601)])
+    run_available()
+    finals = {
+        r.conv_id: r
+        for r in spark.read.parquet(str(out)).collect()
+        if r.is_final
+    }
+    assert set(finals) == {"c1", "c2"}
+    assert finals["c1"].n_turns == 4 and finals["c1"].n_regressed == 1
+    assert finals["c2"].n_turns == 1 and finals["c2"].max_turn_idx == 5
+    assert finals["c2"].monotonic
