@@ -1,0 +1,111 @@
+"""Physical-plan regression guards for the 100 TB properties.
+
+PLANS.md documents the plans the engine is designed to produce; these
+tests PIN the load-bearing shapes so a refactor cannot silently
+reintroduce a scale-killer:
+
+- no CartesianProduct anywhere in the driver-contract queries (the one
+  deliberate cross join — drift's parts x categories grid — broadcasts
+  an aggregate-sized side and must never degrade to a cartesian);
+- the row validator against a MATERIALIZED table is scan -> projection
+  with zero exchanges (the whole-corpus fast path);
+- referential integrity is a broadcast LEFT ANTI hash join (never a
+  shuffle join on the fact side);
+- column stats compute every column's aggregates in ONE shuffle;
+- the validator's scan is column-pruned to the columns the schema
+  actually checks.
+
+Plan text comes from queryExecution().executedPlan() BEFORE execution
+(AQE's initial plan) — these are static properties of the compiled
+plan, not runtime measurements.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# queries whose construction executes Spark jobs (iterative/materializing
+# operators): their RESULT plan is a scan of checkpointed labels, so the
+# cartesian guard below would inspect the wrong thing anyway — and
+# building them per-test is slow. They are covered by their own tests.
+_CONSTRUCTION_EXECUTES = {"dedup_clusters_documents"}
+
+
+def test_no_cartesian_product_in_any_contract_query(spark):
+    bad = {}
+    for name, fn in entry.queries().items():
+        if name in _CONSTRUCTION_EXECUTES:
+            continue
+        plan = _plan(fn(spark, str(SF_SMALL)))
+        if "CartesianProduct" in plan:
+            bad[name] = plan
+    assert not bad, f"cartesian products in: {sorted(bad)}"
+
+
+def test_validator_is_scan_project_only_on_materialized_table(
+    spark, engine, tmp_path
+):
+    """Against a materialized transcripts table (the production shape —
+    the window shuffle in the contract queries belongs to the test
+    fixture's events->transcripts derivation, not the validator), the
+    compiled row validator must be scan -> codegen projection: NO
+    exchange, NO Python."""
+    path = str(tmp_path / "turns")
+    entry._transcripts(spark, str(SF_SMALL)).write.parquet(path)
+    t = spark.read.parquet(path)
+    validated = engine.validate_data(t, "transcripts", "turn")
+    plan = _plan(validated)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_ri_check_is_broadcast_anti_join(spark):
+    from pacts_spark.checks import ri_violations
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    plan = _plan(
+        ri_violations(
+            orders, cust, "o_custkey", "c_custkey",
+            select_cols=["o_orderkey", "o_custkey"],
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_colstats_all_columns_in_one_shuffle(spark):
+    from pacts_spark.checks import column_stats
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    plan = _plan(
+        column_stats(
+            li,
+            ["l_orderkey", "l_partkey", "l_returnflag"],
+            partition_col="l_linestatus",
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_validator_scan_is_column_pruned(spark, engine):
+    """The orders check schema touches 5 of the table's 6 columns;
+    o_orderpriority must not be read (ReadSchema pruning — at 100 TB an
+    unpruned scan is the difference between reading checked columns and
+    reading everything)."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    reg_engine = entry._engine()
+    validated = reg_engine.validate_data(orders, "tpch", "orders_check").select(
+        "o_orderkey", "valid", "error_message"
+    )
+    plan = _plan(validated)
+    assert "o_orderpriority" not in plan, plan
+    assert "o_orderdate" not in plan, plan
