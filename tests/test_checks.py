@@ -178,3 +178,51 @@ def test_uniqueness_no_broadcast_mass_duplicates(spark):
     assert no_bc.count() == with_bc.count() == 20000
     row = no_bc.filter(F.col("k") == 3).first()
     assert row.dup_count == 40 and "appears 40 times" in row.violation
+
+
+def test_whale_conversation_window_checks(spark):
+    """Skew evidence for the WINDOW paths (north_star: 'skew from long
+    conversations'): one 2M-turn conversation — a single fat window
+    partition for the lag/rank computations — plus a normal one. The
+    whale must flow through gap quantiles and salted uniqueness with
+    exact results (lag is a single streaming pass per partition; the
+    salted two-phase agg spreads the hot (conv_id, turn_idx) duplicate
+    key). Closed-form input: every whale gap is exactly 1s."""
+    from pyspark.sql import functions as F
+
+    from pacts_spark.checks.timegaps import gap_quantiles_discrete
+    from pacts_spark.checks.uniqueness import duplicate_keys
+
+    n = 2_000_000
+    whale = spark.range(n).select(
+        F.lit("whale").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    minnow = spark.range(3).select(
+        F.lit("minnow").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_micros(F.col("id") * 5_000_000).alias("ts"),
+    )
+    t = whale.unionByName(minnow)
+
+    q = {r["part"]: r for r in gap_quantiles_discrete(t, partition_col="conv_id").collect()}
+    w = q["whale"]
+    assert w["n_gaps"] == n - 1
+    assert w["p50_us"] == w["p90_us"] == w["p99_us"] == 1_000_000
+    assert w["min_gap_us"] == w["max_gap_us"] == 1_000_000
+    assert w["n_negative_gaps"] == 0
+    assert q["minnow"]["p50_us"] == 5_000_000
+
+    # hot duplicate key on the whale: turn_idx 7 appears 4x
+    dup = whale.unionByName(
+        spark.range(3).select(
+            F.lit("whale").alias("conv_id"),
+            F.lit(7).cast("int").alias("turn_idx"),
+            F.timestamp_micros(F.lit(7_000_000) + F.col("id")).alias("ts"),
+        )
+    )
+    d = duplicate_keys(dup, ["conv_id", "turn_idx"], salt_col="ts").collect()
+    assert len(d) == 1
+    assert d[0]["conv_id"] == "whale" and d[0]["turn_idx"] == 7
+    assert d[0]["dup_count"] == 4
