@@ -200,3 +200,79 @@ def test_conversation_state_verdicts_stateful(spark, tmp_path):
     assert finals["c1"].n_turns == 4 and finals["c1"].n_regressed == 1
     assert finals["c2"].n_turns == 1 and finals["c2"].max_turn_idx == 5
     assert finals["c2"].monotonic
+
+
+def test_windowed_verdicts_drops_late_data_past_watermark(spark, engine, tmp_path):
+    """Bounded-state/late-data contract: once the watermark passes a
+    window, a straggler turn for that window is DROPPED (its finalized
+    verdict does not change) — the property that lets the streaming agg
+    hold state for only ~watermark/window windows at 10^12-turn scale."""
+    import json
+
+    from pacts_spark.streaming import validate_stream, windowed_verdicts
+
+    src = tmp_path / "late_src"
+    out = tmp_path / "late_out"
+    ckpt = tmp_path / "late_ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "conv_id": c,
+                        "turn_idx": t,
+                        "slot": s,
+                        "material": "P",
+                        "amount": 1.0,
+                        "ts": f"2026-01-01 {h:02d}:00:00",
+                    }
+                )
+                for c, t, s, h in rows
+            )
+        )
+
+    schema = (
+        "conv_id string, turn_idx int, slot int, material string, "
+        "amount double, ts timestamp"
+    )
+
+    def run_available():
+        stream = spark.readStream.schema(schema).json(str(src))
+        validated = validate_stream(engine, stream, "inventory", "inventory_item")
+        agg = windowed_verdicts(validated, window="1 hour", watermark="2 hours")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(str(out))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # window [00:00, 01:00): 2 valid turns
+    write_batch("b0.json", [("c1", 1, 1, 0), ("c1", 2, 2, 0)])
+    run_available()
+    # watermark pusher at 10:00 -> watermark 08:00 >> closes the 00:00 window
+    write_batch("b1.json", [("c2", 1, 3, 10)])
+    run_available()
+    finalized = {
+        r.window_start.hour: r for r in spark.read.parquet(str(out)).collect()
+    }
+    assert finalized[0].n_rows == 2 and finalized[0]["pass"]
+
+    # straggler INTO the closed 00:00 window (and invalid, to make any
+    # leak visible in both n_rows and pass)
+    write_batch("b2.json", [("c3", 9, None, 0), ("c2", 2, 4, 10)])
+    run_available()
+    rows_h0 = [
+        r for r in spark.read.parquet(str(out)).collect() if r.window_start.hour == 0
+    ]
+    # the 00:00 window was finalized exactly once, still with 2 rows/pass
+    assert len(rows_h0) == 1
+    assert rows_h0[0].n_rows == 2 and rows_h0[0]["pass"]
