@@ -48,16 +48,64 @@ def duplicate_keys(
     return counts.filter(F.col("dup_count") > 1)
 
 
+def duplicate_keys_hashed(
+    df: DataFrame,
+    keys: list[str],
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Shuffle-lean EXACT duplicate detector for wide/string keys.
+
+    The salted two-phase (``duplicate_keys``) still ships one row per
+    distinct key THROUGH the shuffle carrying the full key tuple — for
+    ``(conv_id string, turn_idx)`` at 10^12 rows that is the pipeline's
+    single biggest byte mover. This variant:
+
+      phase 1: groupBy(xxhash64(keys...)) count — the full-volume shuffle
+               carries (8-byte hash, count); map-side combine also absorbs
+               hot-key skew (a billion-fold duplicate collapses to one row
+               per mapper), so no salt is needed;
+      phase 2: hashes with count > 1 (true duplicates + rare 64-bit
+               collisions) broadcast back; ONLY the candidate rows re-group
+               on the TRUE key tuple — exactness restored on a tail-sized
+               input, collisions drop out here.
+
+    Returns the same (keys..., dup_count > 1) contract as
+    ``duplicate_keys``. ``broadcast_candidates=False`` defers to AQE for
+    pathological mass-duplication inputs (same caveat as
+    ``uniqueness_violations(broadcast_dups=False)``)."""
+    kh = F.xxhash64(*[F.col(k) for k in keys])
+    hot = (
+        df.select(kh.alias("__kh"))
+        .groupBy("__kh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__kh")
+    )
+    if broadcast_candidates:
+        hot = F.broadcast(hot)
+    cand = df.withColumn("__kh", kh).join(hot, "__kh")
+    return (
+        cand.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def uniqueness_violations(
     df: DataFrame,
     keys: list[str],
     salt_col: str | Column | None = None,
     salt_buckets: int = 16,
     broadcast_dups: bool = True,
+    method: str = "salt",
 ) -> DataFrame:
     """Exploded per-row violation form: every row whose key is duplicated,
     tagged with the reference-style message catalog extension
     ``Duplicate key: (k1=v1, k2=v2) appears N times``.
+
+    ``method="hash"`` swaps in :func:`duplicate_keys_hashed` (8-byte-hash
+    phase-1 shuffle + exact tail verify) — identical output, the
+    shuffle-lean choice for wide string keys at full scale.
 
     ``broadcast_dups=True`` hints the join-back (the duplicate set is
     normally the tail, so this is the common fast path). Set it False for
@@ -65,7 +113,10 @@ def uniqueness_violations(
     itself is large — then AQE picks the join strategy from runtime stats
     instead of force-collecting the dup set to the driver.
     """
-    dups = duplicate_keys(df, keys, salt_col=salt_col, salt_buckets=salt_buckets)
+    if method == "hash":
+        dups = duplicate_keys_hashed(df, keys, broadcast_candidates=broadcast_dups)
+    else:
+        dups = duplicate_keys(df, keys, salt_col=salt_col, salt_buckets=salt_buckets)
     if broadcast_dups:
         dups = F.broadcast(dups)
     joined = df.join(dups, on=keys, how="inner")

@@ -226,3 +226,33 @@ def test_whale_conversation_window_checks(spark):
     assert len(d) == 1
     assert d[0]["conv_id"] == "whale" and d[0]["turn_idx"] == 7
     assert d[0]["dup_count"] == 4
+
+
+def test_duplicate_keys_hashed_equals_salted(spark):
+    """duplicate_keys_hashed (8-byte-hash shuffle + exact tail verify)
+    must return exactly the salted two-phase result, including under
+    hot-key mass duplication."""
+    from pyspark.sql import functions as F
+
+    from pacts_spark.checks.uniqueness import duplicate_keys, duplicate_keys_hashed
+
+    df = spark.range(200_000).select(
+        F.concat(F.lit("conv-"), (F.col("id") % 40_000)).alias("conv_id"),
+        # ids 0..39999 five-fold -> turn collisions by construction, plus a
+        # mega-hot key: 5000 extra copies of (conv-7, 7)
+        (F.col("id") % 13).cast("int").alias("turn_idx"),
+    )
+    hot = spark.range(5_000).select(
+        F.lit("conv-7").alias("conv_id"), F.lit(7).cast("int").alias("turn_idx")
+    )
+    t = df.unionByName(hot)
+    a = {
+        (r.conv_id, r.turn_idx): r.dup_count
+        for r in duplicate_keys(t, ["conv_id", "turn_idx"], salt_col="conv_id").collect()
+    }
+    b = {
+        (r.conv_id, r.turn_idx): r.dup_count
+        for r in duplicate_keys_hashed(t, ["conv_id", "turn_idx"]).collect()
+    }
+    assert a == b and len(a) > 0
+    assert a[("conv-7", 7)] >= 5_000
