@@ -855,6 +855,59 @@ SELECT vec_id, nn_id, label FROM (
 """
 
 
+_IVFQ_CELLS = 8
+_IVFQ_NPROBE = 2
+
+
+def _q_ivf_trained_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-IVF shape: trained coarse quantizer (deterministic
+    hash-ranked seed centroids) + multi-probe assignment + cell-local
+    scoring. The SQL twin replays the IDENTICAL algorithm (same centroid
+    rule, same probe ranking, same tie-breaks), so parity is exact."""
+    from pacts_spark.datapipe.similarity import ivf_quantized_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_quantized_topk(
+        emb, n_cells=_IVFQ_CELLS, nprobe=_IVFQ_NPROBE, k=1
+    )
+
+
+_IVFQ_NN_SQL = f"""
+WITH ranked_seeds AS (
+  SELECT vec_id AS cid, embedding AS cv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+  FROM embeddings
+),
+cells AS (SELECT * FROM ranked_seeds WHERE cell <= {_IVFQ_CELLS}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS s
+  FROM embeddings e CROSS JOIN cells c
+),
+pranked AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS pr
+  FROM sims
+),
+assign AS (SELECT vec_id, embedding, cell FROM pranked WHERE pr = 1),
+probes AS (SELECT vec_id, embedding, cell FROM pranked WHERE pr <= {_IVFQ_NPROBE}),
+scored AS (
+  SELECT p.vec_id AS qid, a.vec_id AS cid,
+         list_cosine_similarity(
+           CAST(p.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.vec_id
+),
+dedup AS (SELECT qid, cid, max(sim) AS sim FROM scored GROUP BY qid, cid)
+SELECT vec_id, nn_id, rank FROM (
+  SELECT qid AS vec_id, cid AS nn_id,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, cid ASC) AS INT) AS rank
+  FROM dedup
+) WHERE rank <= 1
+"""
+
+
 def _q_quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = text_stats(_load(spark, sf_dir, "documents"))
     return stats.filter(
@@ -1199,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_nn_embeddings": _q_cosine_nn_embeddings,
         "neardup_embeddings": _q_neardup_embeddings,
         "ivf_cosine_nn": _q_ivf_cosine_nn,
+        "ivf_trained_nn": _q_ivf_trained_nn,
         "quality_filter_documents": _q_quality_filter_documents,
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
@@ -1251,6 +1305,7 @@ FROM t
         "schema_version_diff": _SCHEMA_DIFF_SQL,
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,
+        "ivf_trained_nn": _IVFQ_NN_SQL,
         "quality_filter_documents": _QUALITY_FILTER_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "minhash_pairs_documents": _MINHASH_SQL,

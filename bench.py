@@ -45,6 +45,7 @@ HEADLINE = [
     "cosine_nn_embeddings",
     "neardup_embeddings",
     "ivf_cosine_nn",
+    "ivf_trained_nn",
     "ann_nn_embeddings",
     "sample_documents_stratified",
     "windowed_verdicts",

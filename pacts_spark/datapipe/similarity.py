@@ -249,6 +249,118 @@ def ivf_topk(
     )
 
 
+def ivf_quantized_topk(
+    df: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer + multi-probe — the full FAISS-IVF
+    shape (vs :func:`ivf_topk`, which trusts a caller-provided cell column).
+
+    Quantizer: the ``n_cells`` corpus vectors with the smallest
+    ``(md5(id), id)`` rank are the centroids — a deterministic,
+    scale-independent hash sample (TakeOrderedAndProject: distributed
+    top-K, only n_cells rows ever reach the driver), chosen over k-means
+    so the whole algorithm is SQL-reproducible for the oracle while
+    keeping the data-dependent-cells property. Cell ids are the 1-based
+    hash rank.
+
+    Assignment (one mapInPandas pass, centroids broadcast): every vector
+    gets its argmax-cosine cell (tie → lowest cell id) as a candidate,
+    and its top-``nprobe`` cells as a query — multi-probe recovers the
+    recall lost at cell boundaries, the classic IVF trade.
+
+    Search: bucket-local scoring per cell (one groupBy(cell) matmul,
+    per-query partial top-k, global window merge) — same scale shape as
+    lsh_ann_topk; shuffle = corpus x (1 + nprobe) rows keyed by cell.
+    Output is ids-only (vec_id, nn_id, rank): float sims stay out of the
+    cross-engine hash surface (CLAUDE.md invariant).
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([np.asarray(r[1], dtype=np.float64) for r in seeds])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+    npr = min(nprobe, len(seeds))
+
+    def assign(batches):
+        Cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cm.T
+            out_id, out_v, out_cell, out_side = [], [], [], []
+            for i in range(len(pdf)):
+                # stable sort: tie -> lower cell id, matching the SQL twin's
+                # ORDER BY sim DESC, cell ASC
+                order = np.argsort(-S[i], kind="stable")
+                out_id.append(pdf["id"].iloc[i])
+                out_v.append(pdf["v"].iloc[i])
+                out_cell.append(int(order[0]) + 1)
+                out_side.append("c")
+                for p in range(npr):
+                    out_id.append(pdf["id"].iloc[i])
+                    out_v.append(pdf["v"].iloc[i])
+                    out_cell.append(int(order[p]) + 1)
+                    out_side.append("q")
+            yield pd.DataFrame(
+                {"id": out_id, "v": out_v, "cell": out_cell, "side": out_side}
+            )
+
+    routed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, "id long, v array<float>, cell int, side string")
+
+    kk = k
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["side"] == "q"]
+        c = pdf[pdf["side"] == "c"]
+        if q.empty or c.empty:
+            return pd.DataFrame({"qid": [], "cid": [], "sim": []})
+        qids = q["id"].to_numpy()
+        cids = c["id"].to_numpy()
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        S[qids[:, None] == cids[None, :]] = -np.inf
+        out_q, out_c, out_s = [], [], []
+        for i in range(S.shape[0]):
+            order = np.lexsort((cids, -S[i]))[:kk]
+            for j in order:
+                if S[i, j] == -np.inf:
+                    continue
+                out_q.append(qids[i])
+                out_c.append(cids[j])
+                out_s.append(float(S[i, j]))
+        return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+
+    partials = routed.groupBy("cell").applyInPandas(
+        cell_topk, "qid long, cid long, sim double"
+    )
+    dedup = partials.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("vec_id"), F.col("cid").alias("nn_id"), "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

@@ -321,3 +321,28 @@ def test_hash_sample_deterministic_and_nested(spark):
         strat.withColumn("g", F.col("g").cast("string")),
         {"true": 0.5}, "g", default_rate=0.0).collect()
     assert all(r.g == "true" for r in out) and len(out) > 0
+
+
+def test_ivf_quantized_recall_monotone_and_exhaustive(spark):
+    """Trained-quantizer IVF (ivf_quantized_topk): recall@1 vs brute force
+    must rise with nprobe (the multi-probe trade), and probing ALL cells
+    is exhaustive — identical to the exact result (every (q, c) pair
+    meets in c's cell). Uniform random embeddings are IVF's worst case,
+    so the mid bounds are deliberately loose."""
+    from pacts_spark.datapipe.similarity import cosine_topk, ivf_quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id: r.nn_id for r in cosine_topk(emb, k=1).collect()}
+
+    def recall(nprobe):
+        got = {
+            r.vec_id: r.nn_id
+            for r in ivf_quantized_topk(emb, n_cells=8, nprobe=nprobe, k=1).collect()
+        }
+        assert len(got) == len(exact)
+        return sum(got.get(k) == v for k, v in exact.items()) / len(exact)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 >= 0.15
+    assert r2 > r1
+    assert r8 == 1.0
