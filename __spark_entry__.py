@@ -1222,6 +1222,64 @@ SELECT qid AS vec_id, cid AS nn_id FROM (
 """
 
 
+_LSH_PAIRS_THRESHOLD = 0.4
+
+
+def _q_lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs (the scale path next to the
+    exact O(N²) neardup_embeddings): LSH band-bucket candidates, exact
+    in-bucket cosine >= threshold, id_a < id_b. The SQL twin replays the
+    seeded signatures, so parity is exact (not merely recall-bounded)."""
+    from pacts_spark.datapipe.similarity import lsh_cosine_near_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_cosine_near_pairs(
+        emb, dim=64, threshold=_LSH_PAIRS_THRESHOLD,
+        n_planes=_ANN_PLANES, bands=_ANN_BANDS,
+    )
+
+
+def _lsh_pairs_sql(
+    dim: int = 64,
+    n_planes: int = _ANN_PLANES,
+    bands: int = _ANN_BANDS,
+    threshold: float = _LSH_PAIRS_THRESHOLD,
+) -> str:
+    from pacts_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    rows_per_band = n_planes // bands
+    sig_elems = ", ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"array_to_string(s[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], '') AS bucket "
+        "FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, [{sig_elems}] AS s FROM embeddings),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
+  SELECT c.id_a, c.id_b,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN embeddings ea ON c.id_a = ea.vec_id
+  JOIN embeddings eb ON c.id_b = eb.vec_id
+) WHERE sim >= {threshold}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (reference semantics)
@@ -1262,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "ann_nn_embeddings": _q_ann_nn_embeddings,
+        "lsh_neardup_embeddings": _q_lsh_neardup_embeddings,
     }
 
 
@@ -1311,6 +1370,7 @@ FROM t
         "minhash_pairs_documents": _MINHASH_SQL,
         "simhash_pairs_documents": _simhash_sql(),
         "ann_nn_embeddings": _ann_sql(),
+        "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "windowed_verdicts": _WINDOWED_SQL,

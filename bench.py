@@ -47,6 +47,7 @@ HEADLINE = [
     "ivf_cosine_nn",
     "ivf_trained_nn",
     "ann_nn_embeddings",
+    "lsh_neardup_embeddings",
     "sample_documents_stratified",
     "windowed_verdicts",
     "validate_transcripts_strict",

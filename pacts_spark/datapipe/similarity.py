@@ -368,6 +368,100 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _lsh_grid(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    max_bucket: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared LSH routing: signature → band buckets → capped grid blocks.
+
+    Returns (band, bucket, gq, gc, id, v, side) where side is 'b' (both
+    roles, cold bucket) or 'q'/'c' (hot-bucket sub-grid).
+
+    - ONE nested-array literal + transform for the hyperplanes instead of
+      n_planes x dim individual F.lit columns (per-literal Py4J round
+      trips + expression-tree size made plan build dominate: measured
+      3.2 s at 16 planes x 64 dims);
+    - vectors ride the band explode ONCE (shuffle = bands x corpus, a
+      predictable bound) — a pair-join re-attach ships 2 vectors PER
+      CANDIDATE PAIR (unbounded; measured ~800 MB at 2k vectors);
+    - hot-bucket cap, SINGLE-PASS: a window count over (band, bucket)
+      sizes every bucket (a size-JOIN recomputed the signature projection
+      4x), each row then explodes its own grid assignments — cold buckets
+      emit one side='b' row (no replication), hot buckets emit q-row +
+      c-column hash sub-chunks so every pair meets in exactly one block,
+      per-task input ≤ ~2*max_bucket rows, per-task compute ≤
+      ~max_bucket². The scoring groupBy keys EXTEND the window's
+      (band, bucket) hash partitioning, so routing + scoring ride one
+      exchange.
+    """
+    rows_per_band = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    hlit = F.lit([[float(x) for x in p] for p in planes])
+    sig = F.transform(
+        hlit,
+        lambda h: F.when(_dot(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+    )
+    banded = with_sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bucket")
+
+    w_bb = Window.partitionBy("band", "bucket")
+    counted = banded.withColumn("bsize", F.count(F.lit(1)).over(w_bb))
+    n_sub = F.ceil(F.col("bsize") / F.lit(max_bucket)).cast("int")
+    sub_of = F.pmod(F.xxhash64("id"), n_sub).cast("int")
+    subs = F.sequence(F.lit(0), n_sub - 1)
+
+    def _as_query(gc):
+        return F.struct(
+            sub_of.alias("gq"), gc.cast("int").alias("gc"), F.lit("q").alias("side")
+        )
+
+    def _as_candidate(gq):
+        return F.struct(
+            gq.cast("int").alias("gq"), sub_of.alias("gc"), F.lit("c").alias("side")
+        )
+
+    assigns = F.when(
+        F.col("bsize") <= F.lit(max_bucket),
+        F.array(
+            F.struct(
+                F.lit(0).alias("gq"), F.lit(0).alias("gc"), F.lit("b").alias("side")
+            )
+        ),
+    ).otherwise(F.concat(F.transform(subs, _as_query), F.transform(subs, _as_candidate)))
+
+    return counted.select(
+        "band", "bucket", "id", "v", F.explode(assigns).alias("a")
+    ).select("band", "bucket", "a.gq", "a.gc", "id", "v", "a.side")
+
+
 def lsh_ann_topk(
     df: DataFrame,
     dim: int,
@@ -398,97 +492,8 @@ def lsh_ann_topk(
     import numpy as np
     import pandas as pd
 
-    rows_per_band = n_planes // bands
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    # ONE nested-array literal + transform instead of n_planes x dim
-    # individual F.lit columns: the per-literal Py4J round trips and the
-    # resulting expression-tree size made plan build + codegen dominate
-    # (measured 3.2 s build + slow first exec at 16 planes x 64 dims)
-    hlit = F.lit([[float(x) for x in p] for p in planes])
-    sig = F.transform(
-        hlit,
-        lambda h: F.when(_dot(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    with_sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
-    )
-
-    # BUCKET-LOCAL scoring (FAISS-IVF shape): vectors ride the band explode
-    # ONCE (shuffle = bands x corpus, a predictable bound) into a
-    # groupBy(band, bucket) where each bucket is a dense matmul emitting
-    # only per-query partial top-k. Compare the alternatives: a pair-join
-    # re-attach ships 2 vectors PER CANDIDATE PAIR (unbounded — measured
-    # ~800 MB at just 2k vectors / 2-bit buckets), and round 1's
-    # distinct() hashed full vector arrays. Hot buckets (skewed
-    # signatures) are tiled into sub-grids below.
-    banded = with_sig.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            "",
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bucket")
-
+    grid = _lsh_grid(df, dim, n_planes, bands, seed, max_bucket, id_col, vec_col)
     kk = k
-
-    # hot-bucket cap, SINGLE-PASS routing: a window count over
-    # (band, bucket) sizes every bucket without a join (round-3 fix: the
-    # size-join form recomputed the 16-plane signature projection four
-    # times — sizes, cold, hot-query, hot-candidate — and added two extra
-    # shuffles; measured 11.3 s → this shape at sf0.001). Each row then
-    # emits its grid assignments inline:
-    #   cold bucket (bsize <= max_bucket): ONE (0, 0, side='b') row —
-    #     'b' = both roles, no replication, single-matmul fast path;
-    #   hot bucket: n_sub = ceil(bsize/max_bucket) hash sub-chunks; the
-    #     row is a query in its sub-row of blocks (sub_of, gc) and a
-    #     candidate in its sub-column (gq, sub_of) — every pair meets in
-    #     exactly one block, per-task input is ~2*max_bucket rows, and no
-    #     task's matmul exceeds ~max_bucket². The groupBy keys extend the
-    #     window's (band, bucket) hash partitioning, so routing + scoring
-    #     ride ONE exchange.
-    w_bb = Window.partitionBy("band", "bucket")
-    counted = banded.withColumn("bsize", F.count(F.lit(1)).over(w_bb))
-    n_sub = F.ceil(F.col("bsize") / F.lit(max_bucket)).cast("int")
-    sub_of = F.pmod(F.xxhash64("id"), n_sub).cast("int")
-    subs = F.sequence(F.lit(0), n_sub - 1)
-
-    def _as_query(gc):
-        return F.struct(
-            sub_of.alias("gq"), gc.cast("int").alias("gc"), F.lit("q").alias("side")
-        )
-
-    def _as_candidate(gq):
-        return F.struct(
-            gq.cast("int").alias("gq"), sub_of.alias("gc"), F.lit("c").alias("side")
-        )
-
-    assigns = F.when(
-        F.col("bsize") <= F.lit(max_bucket),
-        F.array(
-            F.struct(
-                F.lit(0).alias("gq"), F.lit(0).alias("gc"), F.lit("b").alias("side")
-            )
-        ),
-    ).otherwise(F.concat(F.transform(subs, _as_query), F.transform(subs, _as_candidate)))
-
-    grid = counted.select(
-        "band", "bucket", "id", "v", F.explode(assigns).alias("a")
-    ).select("band", "bucket", "a.gq", "a.gc", "id", "v", "a.side")
 
     def grid_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         both = pdf["side"] == "b"
@@ -531,3 +536,66 @@ def lsh_ann_topk(
             F.round("sim", 6).alias("cosine"),
         )
     )
+
+
+def lsh_cosine_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """SUB-QUADRATIC embedding near-duplicate pairs: all (id_a < id_b)
+    with cosine >= threshold among pairs sharing >= 1 LSH band bucket —
+    the scale path where :func:`cosine_pairs` (exact, O(N²)) cannot run.
+
+    Same routing as :func:`lsh_ann_topk` (one band explode, bucket-local
+    matmuls, hot-bucket grid cap); each block emits its thresholded pairs
+    with the exact in-block cosine, oriented id_a < id_b so every pair
+    surfaces once per covering band; a final (id_a, id_b) groupBy dedups
+    across bands. Cosine is rounded to 6 BEFORE the dedup so ulp
+    differences between block layouts cannot leak into the output
+    (cross-engine invariant). A true near-pair is missed only if it
+    shares no band: P(miss) = (1 - p^r)^b with p = 1 - theta/pi — at the
+    defaults (r=2, b=8) that is <2% at cosine 0.4 and falls fast as
+    similarity rises.
+    """
+    import numpy as np
+    import pandas as pd
+
+    grid = _lsh_grid(df, dim, n_planes, bands, seed, max_bucket, id_col, vec_col)
+    thr = threshold
+
+    def grid_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        both = pdf["side"] == "b"
+        q = pdf[both | (pdf["side"] == "q")]
+        c = pdf[both | (pdf["side"] == "c")]
+        if q.empty or c.empty or len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        qids = q["id"].to_numpy()
+        cids = c["id"].to_numpy()
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Qn @ Mn.T
+        # orient a < b: keeps exactly one of the two (q,c)/(c,q)
+        # appearances of a pair, in 'b' blocks and across grid blocks alike
+        ii, jj = np.nonzero((S >= thr) & (cids[None, :] > qids[:, None]))
+        return pd.DataFrame(
+            {
+                "id_a": qids[ii],
+                "id_b": cids[jj],
+                "cosine": [round(float(s), 6) for s in S[ii, jj]],
+            }
+        )
+
+    partials = grid.groupBy("band", "bucket", "gq", "gc").applyInPandas(
+        grid_pairs, "id_a long, id_b long, cosine double"
+    )
+    # same pair from several bands: identical rounded cosine, dedup on ids
+    return partials.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))

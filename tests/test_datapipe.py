@@ -346,3 +346,24 @@ def test_ivf_quantized_recall_monotone_and_exhaustive(spark):
     assert r1 >= 0.15
     assert r2 > r1
     assert r8 == 1.0
+
+
+def test_lsh_near_pairs_subset_of_exact_with_high_recall(spark):
+    """lsh_cosine_near_pairs must emit a SUBSET of the exact cosine_pairs
+    set (identical cosines where found — same rounding), with recall
+    within the documented (1-p^r)^b band-miss bound at the default
+    parameters."""
+    from pacts_spark.datapipe.similarity import cosine_pairs, lsh_cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_cosine_near_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+    assert len(got) >= 0.9 * len(exact), (len(got), len(exact))
