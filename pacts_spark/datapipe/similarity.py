@@ -15,6 +15,17 @@
 - :func:`ivf_topk` — IVF cells: shuffle once on the cell id, dense
   matmul per cell; the sub-quadratic ANN shape.
 
+- :func:`ivf_quantized_topk` — the full FAISS-IVF shape: deterministic
+  hash-ranked seed centroids (distributed top-K, n_cells rows to the
+  driver), broadcast centroid matrix, one mapInPandas assignment pass
+  (argmax cell as candidate, top-nprobe cells as query), cell-local
+  scoring. SQL-reproducible end to end.
+
+- :func:`lsh_cosine_near_pairs` — sub-quadratic near-duplicate PAIRS
+  (the scale path where exact :func:`cosine_pairs` cannot run): same
+  band-bucket routing as lsh_ann_topk, thresholded exact in-bucket
+  cosine, id_a < id_b orientation + cross-band dedup.
+
 - :func:`lsh_ann_topk` — random-hyperplane LSH (signed projections →
   bit signature → band buckets) with BUCKET-LOCAL scoring: vectors
   ride the band explode once (shuffle = bands x corpus, a predictable
