@@ -1222,6 +1222,99 @@ SELECT qid AS vec_id, cid AS nn_id FROM (
 """
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation — the composed flow an LLM-data
+    user actually runs, as ONE oracled query: quality filter (score >=
+    0.3, >= 20 tokens) → dedup-cluster the survivors (exact + verified
+    MinHash near-dup edges → connected components) → keep canonicals
+    only → deterministic stratified hash sample by language. Each stage
+    is an already-oracled operator; this query pins their COMPOSITION
+    (filters feeding dedup feeding sampling) against a single SQL
+    replay."""
+    from pacts_spark.datapipe.clusters import dedup_clusters
+    from pacts_spark.datapipe.sampling import stratified_hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    kept = docs.join(
+        stats.filter(
+            (F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 20)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    ex_pairs = (
+        exact_duplicates(kept)
+        .select(F.col("canonical_id").alias("id_a"), F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    near = minhash_verified_pairs(kept, k=64, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(kept, ex_pairs.unionByName(near))
+    canon = kept.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    return stratified_hash_sample(
+        canon, {"en": 0.5, "de": 0.3}, "lang", key_col="doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+_CURATION_SQL = """
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang, trim(text) AS t,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT s.doc_id, s.lang, s.t, d.text FROM s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE round(least(1.0,
+          (CASE WHEN n_tok > 0
+                THEN len(list_distinct(string_split(t, ' '))) / n_tok
+                ELSE 0.0 END) * least(n_tok / 50.0, 1.0)), 6) >= 0.3
+    AND n_tok >= 20
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tt FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(tt[u.i:u.i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(tt) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+  WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.5
+),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+e0 AS (SELECT * FROM jacc UNION SELECT * FROM ex),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM e0
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+),
+canon AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)
+)
+SELECT k.doc_id, k.lang
+FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < CASE k.lang WHEN 'de' THEN 3000 WHEN 'en' THEN 5000 ELSE 1000 END
+"""
+
+
 _LSH_PAIRS_THRESHOLD = 0.4
 
 
@@ -1315,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
+        "curation_pipeline": _q_curation_pipeline,
         "windowed_verdicts": _q_windowed_verdicts,
         # sketch queries (candidate-then-verify, exact-twin oracles)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -1373,5 +1467,6 @@ FROM t
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
+        "curation_pipeline": _CURATION_SQL,
         "windowed_verdicts": _WINDOWED_SQL,
     }

@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_nn_embeddings",
     "lsh_neardup_embeddings",
     "sample_documents_stratified",
+    "curation_pipeline",
     "windowed_verdicts",
     "validate_transcripts_strict",
 ]
