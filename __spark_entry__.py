@@ -1222,6 +1222,30 @@ SELECT qid AS vec_id, cid AS nn_id FROM (
 """
 
 
+def _q_token_pieces_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at both granularities (whitespace tokens + BPE-ish
+    regex pieces — the model-cost estimate). The regex pattern is
+    restricted to constructs with identical Java-regex/RE2 semantics, so
+    the piece counts are cross-engine exact."""
+    from pacts_spark.datapipe.textstats import token_pieces
+
+    return token_pieces(_load(spark, sf_dir, "documents"))
+
+
+def _token_pieces_sql() -> str:
+    from pacts_spark.datapipe.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+            END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_pieces
+FROM documents
+"""
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data curation — the composed flow an LLM-data
     user actually runs, as ONE oracled query: quality filter (score >=
@@ -1399,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
+        "token_pieces_documents": _q_token_pieces_documents,
         "langid_documents": _q_langid_documents,
         "cosine_nn_embeddings": _q_cosine_nn_embeddings,
         "neardup_embeddings": _q_neardup_embeddings,
@@ -1449,6 +1474,7 @@ FROM t
         "fingerprint_documents": _FINGERPRINT_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
+        "token_pieces_documents": _token_pieces_sql(),
         "langid_documents": _LANGID_SQL,
         "cosine_nn_embeddings": _COSINE_NN_SQL,
         "validate_transcripts_strict": _VALIDATE_STRICT_SQL,

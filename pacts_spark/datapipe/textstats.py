@@ -97,3 +97,33 @@ def doc_fingerprint(
     (RE2) for this pattern."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# BPE-ish pre-tokenization pattern (GPT-2-style, ASCII-safe): contraction
+# suffixes, letter runs, optionally space-prefixed digit runs, punctuation
+# runs. Deliberately restricted to constructs whose semantics are identical
+# in Java regex (Spark) and RE2 (DuckDB): no lookaround, no unicode
+# classes, non-overlapping alternatives (leftmost-first == leftmost-longest
+# here), so the piece count is cross-engine exact.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def token_pieces(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting, both granularities the pipeline needs: whitespace
+    tokens (the corpus-size accounting unit) and BPE-ish subword PIECES
+    (the model-cost estimate — a regex pre-tokenizer approximating how a
+    BPE vocabulary would segment, without shipping a vocab). Pure Column
+    expressions: the regex runs JVM-side inside codegen, one projection,
+    no shuffle, no Python."""
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    )
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.size(pieces).alias("n_pieces"),
+    )
