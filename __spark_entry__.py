@@ -491,6 +491,41 @@ FROM documents
 """
 
 
+def _q_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=8-char grams, window w=4):
+    the local/partial-overlap fingerprint set — guaranteed shared
+    fingerprint for any common substring of length >= k+w-1 = 11. SQL
+    twin recomputes the identical md5-prefix gram hashes with a rows-
+    window min."""
+    from pacts_spark.datapipe.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _load(spark, sf_dir, "documents"), k=8, w=4
+    )
+
+
+_WINNOW_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.i AS i,
+         CAST('0x' || substr(md5(substr(t, u.i, 8)), 1, 15) AS BIGINT) AS h,
+         length(t) - 8 + 1 AS m
+  FROM s, UNNEST(range(1, greatest(length(t) - 8 + 1, 0) + 1)) AS u(i)
+),
+wmin AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM g
+)
+SELECT DISTINCT doc_id, mn AS fingerprint
+FROM wmin WHERE i <= greatest(m - 4 + 1, 1)
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -1421,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
+        "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -1472,6 +1508,7 @@ FROM t
         "ri_orders_customer": _RI_ORDERS_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
+        "winnow_fingerprints_documents": _WINNOW_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

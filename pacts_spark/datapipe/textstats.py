@@ -127,3 +127,52 @@ def token_pieces(
         n_tokens.cast("int").alias("n_tokens"),
         F.size(pieces).alias("n_pieces"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROLLING-HASH document fingerprints by winnowing (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting"):
+    hash every character k-gram of the normalized text, slide a window of
+    ``w`` consecutive gram hashes, keep each window's MINIMUM — the
+    selected set is guaranteed to share a fingerprint with any document
+    that shares a substring of length >= k + w - 1, which is what makes it
+    the local/partial-overlap near-dup detector (vs the whole-document
+    md5 of :func:`doc_fingerprint`).
+
+    Selection is by VALUE minimum per window, so tie handling never
+    affects the output set. The k-gram hash is the md5-prefix 60-bit
+    integer (same construction as simhash's md5_60) — computable
+    identically in DuckDB, keeping the operator oracle-checkable. All
+    pure Column expressions over one projection: transform over gram
+    positions, array_min over hash slices, array_distinct, one explode.
+    Output: one row per (doc_id, fingerprint), distinct per doc.
+    """
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    m = F.length(t) - F.lit(k) + 1  # number of k-grams
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        lambda i: F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    # materialize the gram-hash array in its OWN projection before the
+    # window fan-out — referencing it from inside the per-window lambda
+    # would re-evaluate all m md5s once per window start (O(m²) md5s/doc;
+    # the measured minhash shared-subexpression trap, CLAUDE.md)
+    hashed = df.select(F.col(id_col), gram_hashes.alias("__g"))
+    g = F.col("__g")
+    n_grams = F.size(g)
+    # window starts: 1 .. max(m - w + 1, 1); slice() truncates at the end,
+    # so the m < w case degrades to min-of-all (one fingerprint)
+    starts = F.sequence(F.lit(1), F.greatest(n_grams - F.lit(w) + 1, F.lit(1)))
+    mins = F.transform(starts, lambda j: F.array_min(F.slice(g, j, w)))
+    fps = F.when(n_grams > 0, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
