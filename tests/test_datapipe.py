@@ -367,3 +367,26 @@ def test_lsh_near_pairs_subset_of_exact_with_high_recall(spark):
     for k, v in got.items():
         assert abs(v - exact[k]) < 1e-9
     assert len(got) >= 0.9 * len(exact), (len(got), len(exact))
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee (k=8, w=4): two documents sharing a substring
+    of length >= k + w - 1 = 11 (after whitespace-normalization) MUST
+    share at least one fingerprint; a doc with entirely different
+    content shares none (statistically — distinct 60-bit gram hashes)."""
+    from pacts_spark.datapipe.textstats import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"xyzzy plugh {shared} grault garply"),
+        (3, "completely unrelated content with no overlap whatsoever 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared >=11-char substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
