@@ -526,6 +526,53 @@ FROM wmin WHERE i <= greatest(m - 4 + 1, 1)
 """
 
 
+def _q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap near-dup pairs via shared winnowing fingerprints
+    (>= 3 shared, boilerplate fingerprints df-capped at 10) — catches
+    partial duplication that whole-set Jaccard dilutes. The tight df_cap
+    matters on this synthetic corpus: common 8-char grams of shared
+    vocabulary are its boilerplate (df_cap=100 admitted ~80% of all
+    pairs; df_cap=10 + 3 shared keeps the 280 genuinely overlapping
+    ones at sf0.01)."""
+    from pacts_spark.datapipe.textstats import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _load(spark, sf_dir, "documents"), min_shared=3, k=8, w=4, df_cap=10
+    )
+
+
+_WINNOW_PAIRS_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.i AS i,
+         CAST('0x' || substr(md5(substr(t, u.i, 8)), 1, 15) AS BIGINT) AS h,
+         length(t) - 8 + 1 AS m
+  FROM s, UNNEST(range(1, greatest(length(t) - 8 + 1, 0) + 1)) AS u(i)
+),
+wmin AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, mn AS fingerprint
+  FROM wmin WHERE i <= greatest(m - 4 + 1, 1)
+),
+freq AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 10
+),
+kept AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN freq USING (fingerprint))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -1457,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
+        "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -1509,6 +1557,7 @@ FROM t
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "winnow_fingerprints_documents": _WINNOW_SQL,
+        "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

@@ -176,3 +176,41 @@ def winnowing_fingerprints(
         F.array().cast("array<bigint>")
     )
     return hashed.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 100,
+) -> DataFrame:
+    """Substring-overlap near-dup pairs: documents sharing >=
+    ``min_shared`` winnowing fingerprints — catches PARTIAL duplication
+    (a copied paragraph inside otherwise-different documents) that
+    whole-set Jaccard similarity dilutes away. Same scale shape as the
+    shingle inverted index: join on fingerprint (ids only — text never
+    moves), hot fingerprints capped by document frequency (boilerplate
+    grams are the stopwords of this index), count shared per pair."""
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    kept = fps.join(
+        F.broadcast(freq.filter(F.col("df") <= df_cap).select("fingerprint")),
+        "fingerprint",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a." + id_col) < F.col("b." + id_col)),
+        )
+        .groupBy(
+            F.col("a." + id_col).alias("id_a"), F.col("b." + id_col).alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
