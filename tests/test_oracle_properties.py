@@ -71,10 +71,28 @@ def test_absent_properties_never_produce_type_errors(data, schema):
         # property checks run only on dict payloads (Validator.java:154-161)
         assert not any(e.startswith("Invalid type for field") for e in r.errors)
         return
+    props = schema.get("properties", {})
     for e in r.errors:
         if e.startswith("Invalid type for field '"):
-            fname = e.split("'")[1]
-            assert fname in data  # only PRESENT fields get type errors
+            # Recover the field name against the schema's own property names —
+            # split("'")[1] breaks on names containing a quote (e.g. "'").
+            matches = [
+                p
+                for p, ps in props.items()
+                if e == f"Invalid type for field '{p}'. Expected: {ps.get('type')}"
+            ]
+            assert matches  # error corresponds to some schema property
+            assert any(p in data for p in matches)  # only PRESENT fields error
+
+
+def test_quote_named_field_regression():
+    """Hypothesis counterexample from round 3: a property literally named "'".
+
+    Payload {"'": None} with schema property "'" of type object: the field IS
+    present (JSON null -> has() passes) and null is not an object, so the
+    engine/oracle correctly emit the type error (Validator.java:154-176)."""
+    r = validate_data({"'": None}, {"type": "object", "properties": {"'": {"type": "object"}}})
+    assert r.errors == ["Invalid type for field '''. Expected: object"]
 
 
 @settings(max_examples=200, deadline=None)
