@@ -38,6 +38,7 @@ from pacts_spark.checks import (
     uniqueness_violations,
 )
 from pacts_spark.datapipe.dedup import (
+    exact_duplicate_pairs,
     exact_duplicates,
     minhash_verified_pairs,
     ngram_jaccard_pairs,
@@ -1091,10 +1092,7 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.clusters import dedup_clusters
 
     docs = _load(spark, sf_dir, "documents")
-    ex = exact_duplicates(docs)
-    ex_pairs = ex.select(
-        F.col("canonical_id").alias("id_a"), F.explode("ids").alias("id_b")
-    ).filter(F.col("id_a") != F.col("id_b"))
+    ex_pairs = exact_duplicate_pairs(docs)
     near = minhash_verified_pairs(docs, k=64, threshold=0.5).select("id_a", "id_b")
     pairs = ex_pairs.unionByName(near)
     return dedup_clusters(docs, pairs)
@@ -1348,11 +1346,7 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id"),
         "doc_id",
     )
-    ex_pairs = (
-        exact_duplicates(kept)
-        .select(F.col("canonical_id").alias("id_a"), F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
+    ex_pairs = exact_duplicate_pairs(kept)
     near = minhash_verified_pairs(kept, k=64, threshold=0.5).select("id_a", "id_b")
     clusters = dedup_clusters(kept, ex_pairs.unionByName(near))
     canon = kept.join(

@@ -113,7 +113,12 @@ def main() -> None:
             ev0.withColumn(
                 "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
             )
-            .withColumn("user_id", F.col("user_id") + F.col("rep").cast("long") * 1000)
+            # stride must exceed the global max user_id (1499 at sf0.1) or
+            # replicas collide and conversations merge — 1e6 matches the
+            # event_id scheme and is safely above any sf's user range
+            .withColumn(
+                "user_id", F.col("user_id") + F.col("rep").cast("long") * 1_000_000
+            )
             .withColumn(
                 "event_id",
                 F.col("event_id") + F.col("rep").cast("long") * 1_000_000_000,

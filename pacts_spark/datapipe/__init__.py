@@ -9,6 +9,7 @@ Python appears only in Arrow-batched pandas UDFs where semantics demand it
 (multimodal decode stubs)."""
 
 from pacts_spark.datapipe.dedup import (
+    exact_duplicate_pairs,
     exact_duplicates,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -24,6 +25,7 @@ from pacts_spark.datapipe.textstats import (
 )
 
 __all__ = [
+    "exact_duplicate_pairs",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_candidate_pairs",

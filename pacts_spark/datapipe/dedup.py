@@ -20,7 +20,7 @@ Scale design notes (the point of each variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: universal-hash modulus. With a, b, h < 2^31,
@@ -46,19 +46,69 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int | None = 100,
 ) -> DataFrame:
     """Groups of byte-identical texts: (content_hash, canonical_id = min id,
-    dup_count, ids). Only hash+id shuffle; text never moves."""
+    dup_count, ids). Only hash+id shuffle; text never moves.
+
+    ``ids`` holds the ``max_ids`` SMALLEST ids of the group (a sample for
+    audit); ``dup_count`` always carries the true total. The bound is
+    enforced BEFORE aggregation (window rank, filter, then collect), so a
+    mass-duplicated document — billions of copies of boilerplate — never
+    builds a billion-element agg buffer or output row. The rank window and
+    the groupBy share the content_hash hash partitioning, so the cap costs
+    a sort, not a second shuffle. ``max_ids=None`` restores the unbounded
+    list for small audit corpora. For building dedup-cluster EDGES use
+    :func:`exact_duplicate_pairs` — it needs no arrays at all and is not
+    subject to this cap.
+    """
     h = df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    if max_ids is None:
+        return (
+            h.groupBy("content_hash")
+            .agg(
+                F.min(id_col).alias("canonical_id"),
+                F.count(F.lit(1)).alias("dup_count"),
+                F.sort_array(F.collect_list(id_col)).alias("ids"),
+            )
+            .filter(F.col("dup_count") > 1)
+        )
+    w = Window.partitionBy("content_hash")
+    ranked = h.select(
+        "content_hash",
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.row_number().over(w.orderBy(F.col(id_col).asc())).alias("__rn"),
+    )
     return (
-        h.groupBy("content_hash")
+        ranked.filter(F.col("__rn") <= max_ids)
+        .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
-            F.count(F.lit(1)).alias("dup_count"),
+            F.max("__n").alias("dup_count"),
             F.sort_array(F.collect_list(id_col)).alias("ids"),
         )
         .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_duplicate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate EDGES (id_a = group canonical = min id, id_b = every
+    other member) — the input dedup clustering wants. Pure window-min over
+    the hash projection: no collect_list, no arrays, no per-group row-size
+    ceiling, one shuffle on content_hash. Equivalent to exploding
+    :func:`exact_duplicates`' unbounded ``ids`` but safe under mass
+    duplication (the capped ``ids`` would DROP edges past the cap)."""
+    h = df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    canon = F.min(id_col).over(Window.partitionBy("content_hash"))
+    return (
+        h.select(canon.alias("id_a"), F.col(id_col).alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
     )
 
 

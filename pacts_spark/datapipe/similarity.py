@@ -201,11 +201,15 @@ def cosine_pairs(
             for j in hits:
                 out_a.append(qids[i])
                 out_b.append(cand_ids[j])
-                out_s.append(round(float(S[i, j]), 6))
+                out_s.append(float(S[i, j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
 
-    return union.groupBy("chunk").applyInPandas(
-        partial, "id_a long, id_b long, cosine double"
+    # round ENGINE-side (F.round = HALF_UP, matching DuckDB round) — Python
+    # round() inside the UDF is banker's rounding, a parity hazard at ties
+    return (
+        union.groupBy("chunk")
+        .applyInPandas(partial, "id_a long, id_b long, cosine double")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 
@@ -242,7 +246,7 @@ def ivf_topk(
                 out_q.append(ids[i])
                 out_n.append(ids[j])
                 out_r.append(r)
-                out_s.append(round(float(S[i, j]), 6))
+                out_s.append(float(S[i, j]))
                 out_b.append(block)
         return pd.DataFrame(
             {
@@ -255,18 +259,25 @@ def ivf_topk(
         )
 
     out_schema = f"vec_id long, nn_id long, rank int, cosine double, {block_col} int"
-    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        per_block, out_schema
+    # engine-side HALF-UP rounding (see cosine_pairs note)
+    return (
+        df.select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
+        .select(
+            "vec_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine"), block_col
+        )
     )
 
 
 def ivf_quantized_topk(
     df: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     nprobe: int = 2,
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer + multi-probe — the full FAISS-IVF
     shape (vs :func:`ivf_topk`, which trusts a caller-provided cell column).
@@ -289,10 +300,24 @@ def ivf_quantized_topk(
     lsh_ann_topk; shuffle = corpus x (1 + nprobe) rows keyed by cell.
     Output is ids-only (vec_id, nn_id, rank): float sims stay out of the
     cross-engine hash surface (CLAUDE.md invariant).
+
+    Scale guards:
+    - ``n_cells=None`` derives ~sqrt(N) cells from a corpus count (FAISS's
+      rule of thumb), so the default cell population is ~sqrt(N) instead
+      of N/8 — pass an explicit n_cells when the oracle twin needs it.
+    - Cells above ``max_bucket`` rows are tiled into the same q-row /
+      c-column hash sub-grid as :func:`_lsh_grid`, so a skewed quantizer
+      (or adversarially clustered corpus) never materializes one
+      O(cell²) pandas task: per-frame input ≤ ~2*max_bucket rows. The
+      sub-grid groupBy keys EXTEND the cell window's partition key, so
+      sizing + scoring ride one exchange.
     """
     import numpy as np
     import pandas as pd
 
+    if n_cells is None:
+        # one count job; at corpus scale this is a metadata-cheap aggregate
+        n_cells = max(8, int(df.count() ** 0.5))
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -330,9 +355,44 @@ def ivf_quantized_topk(
                 {"id": out_id, "v": out_v, "cell": out_cell, "side": out_side}
             )
 
+    # derive the vector element type from the input schema — hardcoding
+    # array<float> silently downcasts array<double> callers and perturbs
+    # cosines vs a DOUBLE-cast SQL twin
+    vec_type = df.schema[vec_col].dataType.simpleString()
     routed = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(assign, "id long, v array<float>, cell int, side string")
+    ).mapInPandas(assign, f"id long, v {vec_type}, cell int, side string")
+
+    # hot-cell cap: size every cell with ONE window count, then each row
+    # explodes its own grid assignments (cold cell -> single (0,0) block;
+    # hot cell -> q rows replicate across gc columns at their hash gq row,
+    # c rows replicate across gq rows at their hash gc column — every
+    # (q, c) pair meets in exactly one block of bounded size)
+    w_cell = Window.partitionBy("cell")
+    counted = routed.withColumn("csize", F.count(F.lit(1)).over(w_cell))
+    n_sub = F.ceil(F.col("csize") / F.lit(max_bucket)).cast("int")
+    sub_of = F.pmod(F.xxhash64("id"), n_sub).cast("int")
+    subs = F.sequence(F.lit(0), n_sub - 1)
+    assigns = F.when(
+        F.col("csize") <= F.lit(max_bucket),
+        F.array(F.struct(F.lit(0).alias("gq"), F.lit(0).alias("gc"))),
+    ).otherwise(
+        F.when(
+            F.col("side") == "q",
+            F.transform(
+                subs,
+                lambda gc: F.struct(sub_of.alias("gq"), gc.cast("int").alias("gc")),
+            ),
+        ).otherwise(
+            F.transform(
+                subs,
+                lambda gq: F.struct(gq.cast("int").alias("gq"), sub_of.alias("gc")),
+            )
+        )
+    )
+    gridded = counted.select(
+        "cell", "id", "v", "side", F.explode(assigns).alias("a")
+    ).select("cell", "a.gq", "a.gc", "id", "v", "side")
 
     kk = k
 
@@ -360,7 +420,7 @@ def ivf_quantized_topk(
                 out_s.append(float(S[i, j]))
         return pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
 
-    partials = routed.groupBy("cell").applyInPandas(
+    partials = gridded.groupBy("cell", "gq", "gc").applyInPandas(
         cell_topk, "qid long, cid long, sim double"
     )
     dedup = partials.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
@@ -601,12 +661,15 @@ def lsh_cosine_near_pairs(
             {
                 "id_a": qids[ii],
                 "id_b": cids[jj],
-                "cosine": [round(float(s), 6) for s in S[ii, jj]],
+                "cosine": S[ii, jj].astype(np.float64),
             }
         )
 
     partials = grid.groupBy("band", "bucket", "gq", "gc").applyInPandas(
         grid_pairs, "id_a long, id_b long, cosine double"
     )
-    # same pair from several bands: identical rounded cosine, dedup on ids
-    return partials.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    # round ENGINE-side (F.round = HALF_UP like DuckDB; Python round() is
+    # banker's) BEFORE the dedup so ulp differences between block layouts
+    # cannot leak into the output
+    rounded = partials.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return rounded.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))

@@ -155,12 +155,20 @@ def winnowing_fingerprints(
     """
     t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     m = F.length(t) - F.lit(k) + 1  # number of k-grams
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
-        lambda i: F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10).cast(
-            "long"
+    # GUARD m < 1: sequence(1, 0) yields DESCENDING [1, 0] (not empty) in
+    # Spark, so unguarded short/empty/NULL texts would emit bogus
+    # fingerprint rows while the DuckDB twin's range(1, 1) emits none.
+    # when() also routes NULL text (m IS NULL -> condition false) to the
+    # empty array, so NULL docs emit no rows either.
+    gram_hashes = F.when(
+        m >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(t, i, k)), 1, 15), 16, 10
+            ).cast("long"),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
     # materialize the gram-hash array in its OWN projection before the
     # window fan-out — referencing it from inside the per-window lambda
     # would re-evaluate all m md5s once per window start (O(m²) md5s/doc;

@@ -41,6 +41,38 @@ def test_exact_duplicates(docs):
     assert out[0].canonical_id == 1 and out[0].ids == [1, 2]
 
 
+def test_exact_duplicates_mass_duplication_bounded(spark):
+    """1 key x 10^6 rows (the boilerplate-document failure mode): ids must
+    hold only the max_ids smallest ids while dup_count carries the true
+    total — no million-element array row is ever built."""
+    from pacts_spark.datapipe.dedup import exact_duplicate_pairs
+
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate").alias("text")
+    )
+    out = exact_duplicates(df, max_ids=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.dup_count == 1_000_000
+    assert r.canonical_id == 0
+    assert r.ids == list(range(10))
+    # edges skip the array path entirely: every non-canonical gets an edge
+    assert exact_duplicate_pairs(df).count() == 999_999
+
+
+def test_exact_duplicate_pairs_matches_unbounded_ids(docs):
+    from pacts_spark.datapipe.dedup import exact_duplicate_pairs
+
+    via_ids = {
+        (r.canonical_id, i)
+        for r in exact_duplicates(docs, max_ids=None).collect()
+        for i in r.ids
+        if i != r.canonical_id
+    }
+    via_pairs = {(r.id_a, r.id_b) for r in exact_duplicate_pairs(docs).collect()}
+    assert via_pairs == via_ids
+
+
 def test_ngram_jaccard(docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
@@ -153,6 +185,65 @@ def test_lsh_ann_hot_bucket_cap(spark):
     }
     assert capped == uncapped
     assert len(capped) == 2 * 180  # every vector found k=2 neighbors
+
+
+def test_ivf_trained_hot_cell_cap(spark):
+    """Adversarial single-cell corpus: n_cells=1 routes EVERY candidate and
+    probe into one cell (the 100-TB failure mode the cap exists for). The
+    max_bucket sub-grid must bound each pandas frame to ~2*max_bucket rows
+    while reproducing the uncapped results exactly (per-block partial
+    top-k union contains the global top-k)."""
+    from pacts_spark.datapipe.similarity import ivf_quantized_topk
+
+    rows = [
+        (
+            i,
+            [100.0]
+            + [((i * 2654435761 + j * 40503) % 997) / 997.0 for j in range(7)],
+        )
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    uncapped = {
+        (r.vec_id, r.rank): r.nn_id
+        for r in ivf_quantized_topk(
+            df, n_cells=1, nprobe=1, k=2, max_bucket=10**6
+        ).collect()
+    }
+    capped = {
+        (r.vec_id, r.rank): r.nn_id
+        for r in ivf_quantized_topk(
+            df, n_cells=1, nprobe=1, k=2, max_bucket=32
+        ).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 2 * 180
+
+
+def test_ivf_trained_double_vectors_and_auto_cells(spark):
+    """array<double> embeddings must flow through WITHOUT a float32
+    downcast (schema-derived mapInPandas type), and n_cells=None derives a
+    sqrt(N)-ish cell count instead of N/8 cells."""
+    from pacts_spark.datapipe.similarity import ivf_quantized_topk
+
+    rows = [
+        (
+            i,
+            [100.0]
+            + [((i * 2654435761 + j * 40503) % 997) / 997.0 for j in range(7)],
+        )
+        for i in range(64)
+    ]
+    fdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    ddf = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    # in a tight cone every vector lands in the same cells under either
+    # precision; the double path must still run and agree with the float
+    # path on this separable corpus
+    got_f = {r.vec_id: r.nn_id for r in ivf_quantized_topk(fdf, n_cells=1, k=1).collect()}
+    got_d = {r.vec_id: r.nn_id for r in ivf_quantized_topk(ddf, n_cells=1, k=1).collect()}
+    assert got_f == got_d and len(got_d) == 64
+    auto = ivf_quantized_topk(ddf, n_cells=None, k=1)  # sqrt(64)=8 cells
+    assert auto.count() == 64
 
 
 def test_simhash_param_guards(docs):
@@ -390,3 +481,17 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared >=11-char substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_empty_null_docs_emit_no_rows(spark):
+    """Docs whose normalized length < k must emit NO fingerprints (the
+    DuckDB twin's range(1, 1) emits none); unguarded, Spark's
+    sequence(1, 0) yields DESCENDING [1, 0] and fabricates rows — incl. a
+    NULL fingerprint for NULL text. Length == k emits exactly one gram."""
+    from pacts_spark.datapipe.textstats import winnowing_fingerprints
+
+    rows = [(1, "abc"), (2, ""), (3, None), (4, "   "), (5, "exactly8")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnowing_fingerprints(df, k=8, w=4).collect()
+    assert {r.doc_id for r in got} == {5}
+    assert all(r.fingerprint is not None for r in got)

@@ -53,7 +53,7 @@ ev0 = spark.read.parquet("{sf_dir}/events.parquet")
 R = {replicas}
 ev = (
     ev0.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(R - 1))))
-    .withColumn("user_id", F.col("user_id") + F.col("rep").cast("long") * F.lit(1000).cast("long"))
+    .withColumn("user_id", F.col("user_id") + F.col("rep").cast("long") * F.lit(1000000).cast("long"))
     .withColumn("event_id", F.col("event_id") + F.col("rep").cast("long") * F.lit(1000000000).cast("long"))
     .drop("rep")
 )
