@@ -1261,11 +1261,23 @@ def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "nn_id")
 
 
-def _ann_sql(dim: int = 64, n_planes: int = _ANN_PLANES, bands: int = _ANN_BANDS) -> str:
+def _ann_sql(
+    dim: int = 64,
+    n_planes: int = _ANN_PLANES,
+    bands: int = _ANN_BANDS,
+    source_sql: str | None = None,
+) -> str:
+    """SQL twin of lsh_ann_topk. ``source_sql``: optional SELECT producing
+    (vec_id, embedding) to replace the embeddings table — lets the same
+    LSH replay run over DERIVED vectors (embed_then_ann)."""
     from pacts_spark.datapipe.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed=42)
     rows_per_band = n_planes // bands
+    pre, src = ("", "embeddings") if source_sql is None else (
+        f"emb AS ({source_sql}), ",
+        "emb",
+    )
     sig_elems = ", ".join(
         "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
         + ", ".join(repr(x) for x in p)
@@ -1279,7 +1291,7 @@ def _ann_sql(dim: int = 64, n_planes: int = _ANN_PLANES, bands: int = _ANN_BANDS
         for b in range(bands)
     )
     return f"""
-WITH sig AS (SELECT vec_id, [{sig_elems}] AS s FROM embeddings),
+WITH {pre}sig AS (SELECT vec_id, [{sig_elems}] AS s FROM {src}),
 banded AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
@@ -1291,8 +1303,8 @@ scored AS (
          list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                 CAST(eb.embedding AS DOUBLE[])) AS sim
   FROM cand c
-  JOIN embeddings ea ON c.qid = ea.vec_id
-  JOIN embeddings eb ON c.cid = eb.vec_id
+  JOIN {src} ea ON c.qid = ea.vec_id
+  JOIN {src} eb ON c.cid = eb.vec_id
 )
 SELECT qid AS vec_id, cid AS nn_id FROM (
   SELECT qid, cid,
@@ -1300,6 +1312,38 @@ SELECT qid AS vec_id, cid AS nn_id FROM (
   FROM scored
 ) WHERE rn = 1
 """
+
+
+_EMBED_DIM = 64
+
+
+def _q_embed_then_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text -> hashing-trick vector -> LSH ANN, end to end: the
+    operator chain that previously had a seam (ANN consumed fixture
+    embeddings that 'appeared from nowhere'). The vectorizer is a pure
+    Column projection (no vocabulary, no shuffle), its output feeds the
+    already-capped lsh_ann_topk, and the oracle replays BOTH stages in
+    SQL — ids-only output per the float invariant."""
+    from pacts_spark.datapipe.embedding import hashed_ngram_embedding
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = hashed_ngram_embedding(docs, dim=_EMBED_DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return lsh_ann_topk(
+        emb, dim=_EMBED_DIM, k=1, n_planes=_ANN_PLANES, bands=_ANN_BANDS
+    ).select("vec_id", "nn_id")
+
+
+def _embed_ann_sql() -> str:
+    from pacts_spark.datapipe.embedding import hashed_ngram_embedding_sql
+
+    src = (
+        "SELECT doc_id AS vec_id, embedding FROM ("
+        + hashed_ngram_embedding_sql(dim=_EMBED_DIM, source="documents")
+        + ")"
+    )
+    return _ann_sql(dim=_EMBED_DIM, source_sql=src)
 
 
 def _q_token_pieces_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
         "ann_nn_embeddings": _q_ann_nn_embeddings,
+        "embed_then_ann": _q_embed_then_ann,
         "lsh_neardup_embeddings": _q_lsh_neardup_embeddings,
     }
 
@@ -1570,6 +1615,7 @@ FROM t
         "minhash_pairs_documents": _MINHASH_SQL,
         "simhash_pairs_documents": _simhash_sql(),
         "ann_nn_embeddings": _ann_sql(),
+        "embed_then_ann": _embed_ann_sql(),
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,

@@ -17,6 +17,7 @@ from pacts_spark.datapipe.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from pacts_spark.datapipe.embedding import hashed_ngram_embedding
 from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
 from pacts_spark.datapipe.textstats import (
     doc_fingerprint,
@@ -26,6 +27,7 @@ from pacts_spark.datapipe.textstats import (
 
 __all__ = [
     "exact_duplicate_pairs",
+    "hashed_ngram_embedding",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_candidate_pairs",

@@ -258,6 +258,41 @@ def test_simhash_param_guards(docs):
     simhash_near_pairs(docs, max_hamming=3)
 
 
+def test_hashed_embedding(spark):
+    """Hashing-trick vectorizer: unit L2 norm always (empty/NULL text
+    included — never a zero vector), deterministic across calls, bucket
+    counts match a direct python replay, and the DuckDB twin agrees."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from pacts_spark.datapipe.embedding import (
+        hashed_ngram_embedding,
+        hashed_ngram_embedding_sql,
+    )
+
+    rows = [(1, "a b a c"), (2, ""), (3, None), (4, "hello world hello")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: np.array(r.embedding) for r in hashed_ngram_embedding(df, dim=8).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for v in got.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+    # python replay of doc 1
+    cnt = np.zeros(8)
+    for tok in "a b a c".split(" "):
+        cnt[int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8] += 1
+    assert np.allclose(got[1], cnt / np.linalg.norm(cnt))
+    assert np.allclose(got[2], got[3])  # NULL coalesces to ''
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (1, 'a b a c'), (2, ''),"
+        " (3, NULL), (4, 'hello world hello')) t(doc_id, text)"
+    )
+    for r in con.execute(hashed_ngram_embedding_sql(dim=8)).fetchall():
+        assert np.allclose(np.array(r[1]), got[r[0]]), r[0]
+
+
 def test_text_stats(spark):
     df = spark.createDataFrame([(1, "a b a"), (2, "")], "doc_id long, text string")
     out = {r.doc_id: r for r in text_stats(df).collect()}
