@@ -1517,6 +1517,104 @@ SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
 """
 
 
+def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the CUSTOM STATEFUL streaming operator
+    (conversation_state_verdicts, applyInPandasWithState) to COMPLETION
+    and oracle its FINAL per-conversation states — the last substantive
+    operator leaving pytest-only territory.
+
+    Completion protocol (availableNow, maxFilesPerTrigger=1, mtime-ordered
+    files):
+    - file 1: ALL real transcript turns in ONE parquet file → one
+      micro-batch, so the in-batch (turn_idx, ts)-sorted regression count
+      is exactly ``count(*) - count(DISTINCT turn_idx)`` — SQL-expressible;
+    - file 2: a sentinel turn 100 days ahead → its batch END advances the
+      event-time watermark past every real conversation's last_ts + ttl;
+    - file 3: a second sentinel one hour later → its batch STARTS with the
+      advanced watermark, firing every real conversation's event-time
+      timeout → is_final rows, state dropped.
+    Sentinel conversations never time out (their ttl sits beyond the final
+    watermark) and are filtered from the output. The temp dir backs the
+    returned (lazy) DataFrame, so it is left for the OS tmp reaper.
+    """
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pacts_spark.streaming import conversation_state_verdicts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    turns = transcripts_from_events(ev).select("conv_id", "turn_idx", "ts")
+    mx = turns.agg(F.max("ts")).first()[0]
+
+    base = tempfile.mkdtemp(prefix="conv_state_finals_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    def _stage(df, name, mtime):
+        tmp = os.path.join(base, f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, name)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    s1 = mx + datetime.timedelta(days=100)
+    s2 = s1 + datetime.timedelta(hours=1)
+    now = int(datetime.datetime.now().timestamp())
+    _stage(turns, "000_turns.parquet", now - 300)
+    _stage(
+        spark.createDataFrame([("sentinel-1", 1, s1)], schema),
+        "001_sentinel.parquet",
+        now - 200,
+    )
+    _stage(
+        spark.createDataFrame([("sentinel-2", 1, s2)], schema),
+        "002_sentinel.parquet",
+        now - 100,
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    verdicts = conversation_state_verdicts(
+        stream, watermark="2 hours", ttl_ms=2 * 3600 * 1000
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("is_final") & ~F.col("conv_id").startswith("sentinel-"))
+        .select("conv_id", "n_turns", "max_turn_idx", "n_regressed", "monotonic")
+    )
+
+
+_CONV_STATE_FINALS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
+       CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_regressed,
+       (count(*) = count(DISTINCT turn_idx)) AS monotonic
+FROM t GROUP BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (reference semantics)
@@ -1557,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents_stratified": _q_sample_documents_stratified,
         "curation_pipeline": _q_curation_pipeline,
         "windowed_verdicts": _q_windowed_verdicts,
+        "conversation_state_finals": _q_conversation_state_finals,
         # sketch queries (candidate-then-verify, exact-twin oracles)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_pairs_documents": _q_simhash_pairs_documents,
@@ -1621,4 +1720,5 @@ FROM t
         "sample_documents_stratified": _SAMPLE_SQL,
         "curation_pipeline": _CURATION_SQL,
         "windowed_verdicts": _WINDOWED_SQL,
+        "conversation_state_finals": _CONV_STATE_FINALS_SQL,
     }
