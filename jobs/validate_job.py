@@ -38,6 +38,13 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output dir (violations/, verdicts/)")
     ap.add_argument("--schemas", required=True, help="schema root dir")
     ap.add_argument("--manifest", help="resume manifest path (optional)")
+    ap.add_argument(
+        "--table-format",
+        default="parquet",
+        choices=["parquet", "iceberg"],
+        help="table adapter: scan/replace-where/manifest-upsert seam "
+        "(iceberg requires the runtime jar + catalog conf)",
+    )
     ap.add_argument("--category", default="transcripts")
     ap.add_argument("--name", default="turn")
     ap.add_argument("--run-id", required=True)
@@ -73,17 +80,23 @@ def main() -> None:
         PactsEngine(reg), manifest=manifest, category=args.category, name=args.name
     )
 
+    from pacts_spark.table import get_adapter
+
+    adapter = get_adapter(args.table_format, spark)
+    pending_filtered = False
     if args.events:
         events = spark.read.parquet(args.events)
         transcripts = transcripts_from_events(events)
         convs = conversations_dim(events)
     else:
-        # path (contains / or .parquet) → parquet scan; otherwise a
-        # catalog table identifier (e.g. iceberg.prod.transcripts)
-        if "/" in args.transcripts or args.transcripts.endswith(".parquet"):
-            transcripts = spark.read.parquet(args.transcripts)
+        if manifest is not None:
+            # resume: validated partitions pruned AT THE SOURCE when the
+            # table is physically partitioned (PartitionFilters / Iceberg
+            # metadata pruning) — see pacts_spark/table.py
+            transcripts = adapter.scan_pending(spark, args.transcripts, manifest)
+            pending_filtered = True
         else:
-            transcripts = spark.read.table(args.transcripts)
+            transcripts = adapter.read(spark, args.transcripts)
         convs = None
 
     out = run.run_and_write(
@@ -94,6 +107,7 @@ def main() -> None:
         tools=tools_dim(spark),
         run_id=args.run_id,
         seq=args.seq,
+        pending_filtered=pending_filtered,
     )
     n_viol = spark.read.parquet(out["violations_path"]).count()
     print(json.dumps({**out, "n_violations": n_viol, "run_id": args.run_id}))

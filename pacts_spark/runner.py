@@ -74,10 +74,14 @@ class ValidationRun:
         tools: DataFrame | None = None,
         baseline_role_hist: DataFrame | None = None,
         persist_input: bool = False,
+        pending_filtered: bool = False,
     ) -> RunResult:
         part = day_part()
 
-        if self.manifest is not None:
+        # pending_filtered=True: the caller already excluded validated
+        # partitions (run_and_write's pre-filter, or a table adapter's
+        # partition-pruned scan_pending) — don't anti-join a second time
+        if self.manifest is not None and not pending_filtered:
             transcripts = self.manifest.filter_pending(spark, transcripts, part)
 
         # The run fans out into several ACTIONS (violations, verdicts,
@@ -204,6 +208,7 @@ class ValidationRun:
         tools: DataFrame | None = None,
         run_id: str = "run-0",
         seq: int = 0,
+        pending_filtered: bool = False,
     ) -> dict:
         """Production-shaped run: MINIMUM number of actions.
 
@@ -221,7 +226,7 @@ class ValidationRun:
         Returns {"violations_path", "verdicts_path"}.
         """
         part = day_part()
-        if self.manifest is not None:
+        if self.manifest is not None and not pending_filtered:
             transcripts = self.manifest.filter_pending(spark, transcripts, part)
 
         res = self.run(
@@ -230,6 +235,7 @@ class ValidationRun:
             conversations=conversations,
             tools=tools,
             persist_input=False,
+            pending_filtered=True,  # filtered just above (or by the caller)
         )
         # manifest.record happens ONLY after both output writes succeed
         # (below) — see run()'s note on crash-safe resume ordering.

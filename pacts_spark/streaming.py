@@ -171,37 +171,39 @@ def fork_sinks(
     violations_path: str,
     checkpoint_dir: str,
     key_cols: list[str] = ("conv_id", "turn_idx"),
+    adapter=None,
 ):
     """writeStream.foreachBatch gate: valid rows → output table, violations
     → violations table (the streaming analogue of sendValidatedData's
     valid/invalid fork, PactsService.java:106-122).
 
     Exactly-once: each micro-batch writes into its own ``batch_id=N``
-    partition with DYNAMIC partition overwrite — a replayed batch (failure
-    between sink write and checkpoint commit) overwrites exactly its own
-    partition instead of appending duplicates, making the sink idempotent
-    per batch id. (On Iceberg this becomes REPLACE WHERE batch_id = N.)"""
+    partition via the table adapter's REPLACE-WHERE (dynamic partition
+    overwrite on parquet, ``overwritePartitions`` on Iceberg) — a replayed
+    batch (failure between sink write and checkpoint commit) overwrites
+    exactly its own partition instead of appending duplicates, making the
+    sink idempotent per batch id."""
+    if adapter is None:
+        from pacts_spark.table import ParquetTableAdapter
+
+        adapter = ParquetTableAdapter()
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            (
+            adapter.replace_where(
                 batch.filter(F.col("valid"))
                 .drop("errors", "valid", "error_message")
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(valid_path)
+                .withColumn("batch_id", F.lit(batch_id)),
+                valid_path,
+                ["batch_id"],
             )
-            (
+            adapter.replace_where(
                 batch.filter(~F.col("valid"))
                 .select(*key_cols, F.posexplode("errors").alias("error_idx", "violation"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(violations_path)
+                .withColumn("batch_id", F.lit(batch_id)),
+                violations_path,
+                ["batch_id"],
             )
         finally:
             batch.unpersist()
