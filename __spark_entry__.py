@@ -1517,6 +1517,81 @@ SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
 """
 
 
+def _q_drift_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift→action loop closed: language_id's DETECTED labels are
+    rebalanced toward the STORED baseline histogram (the declared ``lang``
+    column stands in for the manifest-persisted histogram of the last
+    validated run) with COMPUTED per-stratum rates — least(1,
+    target/current) — not literal ones. Over-detected languages are
+    downsampled toward the baseline; 'und' (absent from the baseline)
+    drops to rate 0."""
+    from pacts_spark.datapipe.sampling import rebalanced_hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    tagged = docs.select("doc_id").join(pred, "doc_id")
+    baseline = docs.groupBy(F.col("lang").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return rebalanced_hash_sample(tagged, baseline, "pred_lang").select(
+        "doc_id", "pred_lang"
+    )
+
+
+_DRIFT_REBALANCE_SQL = """
+WITH s AS (
+  SELECT doc_id, ' ' || trim(text) || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END) AS s_es,
+    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+    (CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END) AS s_zh
+  FROM s
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM scored
+),
+base AS (SELECT lang AS pred_lang, count(*) AS target FROM documents GROUP BY 1),
+cur AS (SELECT pred_lang, count(*) AS n_cur FROM pred GROUP BY 1),
+thr AS (
+  SELECT c.pred_lang,
+         CAST(floor(least(1.0,
+           coalesce(CAST(b.target AS DOUBLE) / c.n_cur, 0.0)) * 10000 + 0.5)
+           AS BIGINT) AS t
+  FROM cur c LEFT JOIN base b ON c.pred_lang = b.pred_lang
+)
+SELECT p.doc_id, p.pred_lang
+FROM pred p JOIN thr ON p.pred_lang = thr.pred_lang
+WHERE CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10000 < thr.t
+"""
+
+
 def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the CUSTOM STATEFUL streaming operator
     (conversation_state_verdicts, applyInPandasWithState) to COMPLETION
@@ -1653,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
+        "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
         "windowed_verdicts": _q_windowed_verdicts,
         "conversation_state_finals": _q_conversation_state_finals,
@@ -1718,6 +1794,7 @@ FROM t
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
+        "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,
         "windowed_verdicts": _WINDOWED_SQL,
         "conversation_state_finals": _CONV_STATE_FINALS_SQL,

@@ -53,6 +53,51 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col)) < _threshold(rate))
 
 
+def rebalanced_hash_sample(
+    df: DataFrame,
+    baseline_hist: DataFrame,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    n_col: str = "n",
+) -> DataFrame:
+    """Drift→action: per-stratum sample rates COMPUTED from a stored
+    baseline histogram instead of passed as literals — the corrective
+    sampling step after a distribution-drift check flags a stratum as
+    over-represented.
+
+    ``baseline_hist`` is (stratum, n) target counts — in production the
+    manifest-persisted histogram of the last validated run (the same
+    aggregate drift_scores consumes); rate(stratum) = least(1,
+    target_n / current_n), so over-represented strata are downsampled
+    toward the baseline and under-represented ones pass through whole.
+    Strata absent from the baseline get rate 0 (dropped — e.g. 'und'
+    from language-ID). Threshold = floor(rate*10000 + 0.5), the repo's
+    half-up bucket rule, computed identically in the DuckDB twin (both
+    engines do one IEEE double division of two BIGINTs).
+
+    Scale: current counts are ONE aggregate-only groupBy; the per-stratum
+    thresholds (a handful of rows) broadcast back — the data pass itself
+    stays a projection + filter, same as stratified_hash_sample.
+    """
+    cur = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__cur"))
+    rates = cur.join(
+        baseline_hist.withColumnRenamed(n_col, "__target"), stratum_col, "left"
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(F.col("__target").cast("double") / F.col("__cur"), F.lit(0.0)),
+    )
+    thr = rates.select(
+        stratum_col,
+        F.floor(rate * _BUCKETS + F.lit(0.5)).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .filter(hash_bucket(F.col(key_col)) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

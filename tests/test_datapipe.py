@@ -258,6 +258,36 @@ def test_simhash_param_guards(docs):
     simhash_near_pairs(docs, max_hamming=3)
 
 
+def test_rebalanced_hash_sample(spark):
+    """Computed drift→action rates: a stratum over-represented vs the
+    baseline is downsampled to ~target/current; under-represented strata
+    pass whole; strata absent from the baseline drop entirely. Sample
+    membership is the deterministic hash-bucket rule (nested/retry-stable)."""
+    from pacts_spark.datapipe.sampling import hash_bucket, rebalanced_hash_sample
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 900 else "und")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    baseline = spark.createDataFrame(
+        [("en", 400), ("de", 200)], "stratum string, n long"
+    )
+    got = rebalanced_hash_sample(df, baseline, "stratum").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.stratum, set()).add(r.doc_id)
+    assert "und" not in by  # absent from baseline -> rate 0
+    assert by["de"] == set(range(800, 900))  # target 200 > current 100 -> rate 1
+    # en: rate 400/800 = 0.5 -> exactly the docs whose bucket < 5000
+    thr = 5000
+    expect_en = {
+        r.doc_id
+        for r in df.filter(F.col("stratum") == "en")
+        .select("doc_id", hash_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+        if r.b < thr
+    }
+    assert by["en"] == expect_en
+
+
 def test_hashed_embedding(spark):
     """Hashing-trick vectorizer: unit L2 norm always (empty/NULL text
     included — never a zero vector), deterministic across calls, bucket
