@@ -955,18 +955,31 @@ def _q_ivf_trained_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFQ_NN_SQL = f"""
-WITH ranked_seeds AS (
+def _ivfq_sql(
+    n_cells: int = _IVFQ_CELLS,
+    nprobe: int = _IVFQ_NPROBE,
+    source_sql: str | None = None,
+) -> str:
+    """SQL twin of ivf_quantized_topk (trained quantizer + multi-probe +
+    cell-local scoring). ``source_sql``: optional SELECT producing
+    (vec_id, embedding) replacing the embeddings table — lets the same
+    replay run over DERIVED vectors (embed_then_ann)."""
+    pre, src = ("", "embeddings") if source_sql is None else (
+        f"emb AS ({source_sql}), ",
+        "emb",
+    )
+    return f"""
+WITH {pre}ranked_seeds AS (
   SELECT vec_id AS cid, embedding AS cv,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-  FROM embeddings
+  FROM {src}
 ),
-cells AS (SELECT * FROM ranked_seeds WHERE cell <= {_IVFQ_CELLS}),
+cells AS (SELECT * FROM ranked_seeds WHERE cell <= {n_cells}),
 sims AS (
   SELECT e.vec_id, e.embedding, c.cell,
          list_cosine_similarity(
            CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS s
-  FROM embeddings e CROSS JOIN cells c
+  FROM {src} e CROSS JOIN cells c
 ),
 pranked AS (
   SELECT vec_id, embedding, cell,
@@ -974,7 +987,7 @@ pranked AS (
   FROM sims
 ),
 assign AS (SELECT vec_id, embedding, cell FROM pranked WHERE pr = 1),
-probes AS (SELECT vec_id, embedding, cell FROM pranked WHERE pr <= {_IVFQ_NPROBE}),
+probes AS (SELECT vec_id, embedding, cell FROM pranked WHERE pr <= {nprobe}),
 scored AS (
   SELECT p.vec_id AS qid, a.vec_id AS cid,
          list_cosine_similarity(
@@ -1315,23 +1328,43 @@ SELECT qid AS vec_id, cid AS nn_id FROM (
 
 
 _EMBED_DIM = 64
+_EMBED_IVF_CELLS = 64
+_EMBED_IVF_NPROBE = 2
 
 
 def _q_embed_then_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw text -> hashing-trick vector -> LSH ANN, end to end: the
-    operator chain that previously had a seam (ANN consumed fixture
+    """Raw text -> hashing-trick vector -> trained-IVF ANN, end to end:
+    the operator chain that previously had a seam (ANN consumed fixture
     embeddings that 'appeared from nowhere'). The vectorizer is a pure
-    Column projection (no vocabulary, no shuffle), its output feeds the
-    already-capped lsh_ann_topk, and the oracle replays BOTH stages in
-    SQL — ids-only output per the float invariant."""
+    Column projection (no vocabulary, no shuffle); its output feeds
+    ivf_quantized_topk, and the oracle replays BOTH stages in SQL —
+    ids-only output per the float invariant.
+
+    Engineering notes (measured at sf0.1, 5000 docs):
+    - the ANN stage is the TRAINED-IVF quantizer, not random-hyperplane
+      LSH: hashed count vectors are all-positive, so sign(v·h) bits come
+      out heavily correlated (bucket skew measured at 0.6-0.95 of the
+      corpus in ONE bucket per band; even per-row DC-centering only
+      halved the pair volume) — LSH degenerates to bands x brute force
+      on this vector family, while data-dependent corpus-seed centroids
+      split it well (max cell 304/5000 at 64 cells);
+    - the vectorizer's internal exchange barrier (embedding.py module
+      docstring) pins one md5 per gram and parallelizes the single-file
+      corpus; the derived embedding is then localCheckpoint'd so the
+      ANN's two references (seed collect + routing) don't re-run the
+      vectorizer. Measured 36 s -> 3.4 s for the full query at sf0.1.
+    """
     from pacts_spark.datapipe.embedding import hashed_ngram_embedding
+    from pacts_spark.datapipe.similarity import ivf_quantized_topk
 
     docs = _load(spark, sf_dir, "documents")
-    emb = hashed_ngram_embedding(docs, dim=_EMBED_DIM).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    emb = (
+        hashed_ngram_embedding(docs, dim=_EMBED_DIM)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=False)
     )
-    return lsh_ann_topk(
-        emb, dim=_EMBED_DIM, k=1, n_planes=_ANN_PLANES, bands=_ANN_BANDS
+    return ivf_quantized_topk(
+        emb, n_cells=_EMBED_IVF_CELLS, nprobe=_EMBED_IVF_NPROBE, k=1
     ).select("vec_id", "nn_id")
 
 
@@ -1343,7 +1376,11 @@ def _embed_ann_sql() -> str:
         + hashed_ngram_embedding_sql(dim=_EMBED_DIM, source="documents")
         + ")"
     )
-    return _ann_sql(dim=_EMBED_DIM, source_sql=src)
+    sql = _ivfq_sql(
+        n_cells=_EMBED_IVF_CELLS, nprobe=_EMBED_IVF_NPROBE, source_sql=src
+    )
+    # ids-only output (rank dropped like the Spark side)
+    return f"SELECT vec_id, nn_id FROM ({sql})"
 
 
 def _q_token_pieces_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1784,7 +1821,7 @@ FROM t
         "schema_version_diff": _SCHEMA_DIFF_SQL,
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,
-        "ivf_trained_nn": _IVFQ_NN_SQL,
+        "ivf_trained_nn": _ivfq_sql(),
         "quality_filter_documents": _QUALITY_FILTER_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "minhash_pairs_documents": _MINHASH_SQL,

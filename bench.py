@@ -52,6 +52,10 @@ HEADLINE = [
     "curation_pipeline",
     "windowed_verdicts",
     "validate_transcripts_strict",
+    # round 4
+    "embed_then_ann",
+    "drift_rebalanced_sample",
+    "conversation_state_finals",
 ]
 
 

@@ -18,11 +18,20 @@ a semantic one, and is honest about it.
 
 Scale notes:
 - the gram/bucket arrays are each materialized in their OWN projection
-  before any per-element lambda references them (the measured
-  shared-subexpression trap: an array referenced inside a HOF lambda
-  re-evaluates per element — CLAUDE.md, minhash/winnowing lessons);
-- counting is O(dim * n_tokens) per row (a filter+size scan per bucket)
-  — fine for the dim=32..256 regime this targets; all JVM codegen.
+  before any per-element lambda references them — BUT a bare projection
+  does NOT survive Catalyst's CollapseProject: the bucket array (and its
+  md5 per gram) was measured re-inlining into all ``dim`` count
+  references (64x the md5 work, 17 s single-task at 5k docs). The fix is
+  an EXCHANGE barrier between the bucket projection and the count scans
+  (hash repartition on the id): md5s compute once pre-shuffle, the scans
+  hit a materialized int array post-shuffle, and a single-file corpus
+  parallelizes. The shuffle carries (id, int-array of ~n_tokens) — about
+  the size of the text itself, linear and skew-free; far cheaper than
+  dim x md5 recompute. ``barrier=False`` restores the pure projection
+  for tiny frames;
+- counting is O(dim * n_tokens) per row (a filter+size scan per bucket
+  over the materialized array) — fine for the dim=32..256 regime this
+  targets; all JVM-side.
 """
 
 from __future__ import annotations
@@ -43,6 +52,8 @@ def hashed_ngram_embedding(
     n: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    barrier: bool = True,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """(id_col, embedding: array<double>[dim]) — L2-normalized hashed
     n-gram counts.
@@ -64,13 +75,22 @@ def hashed_ngram_embedding(
         # bind via default arg, not closure (HOF lambda binding rules)
         grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
 
-    # projection 1: bucket ids (materializes split+md5 ONCE per gram)
+    # stage 1: bucket ids. The exchange barrier (not a bare projection —
+    # CollapseProject would re-inline the md5s into every count, see
+    # module docstring) pins ONE md5 evaluation per gram.
     bucketed = df.select(
         F.col(id_col),
         F.transform(
             grams, lambda g: F.pmod(_md5_60(g), F.lit(dim)).cast("int")
         ).alias("__b"),
     )
+    if barrier:
+        parts = (
+            n_partitions
+            if n_partitions is not None
+            else df.sparkSession.sparkContext.defaultParallelism
+        )
+        bucketed = bucketed.repartition(parts, F.col(id_col))
 
     # projection 2: raw counts per bucket (scans __b per bucket id; __b is
     # a materialized column reference, not a re-evaluated expression)

@@ -337,22 +337,22 @@ def ivf_quantized_topk(
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = Vn @ Cm.T
-            out_id, out_v, out_cell, out_side = [], [], [], []
-            for i in range(len(pdf)):
-                # stable sort: tie -> lower cell id, matching the SQL twin's
-                # ORDER BY sim DESC, cell ASC
-                order = np.argsort(-S[i], kind="stable")
-                out_id.append(pdf["id"].iloc[i])
-                out_v.append(pdf["v"].iloc[i])
-                out_cell.append(int(order[0]) + 1)
-                out_side.append("c")
-                for p in range(npr):
-                    out_id.append(pdf["id"].iloc[i])
-                    out_v.append(pdf["v"].iloc[i])
-                    out_cell.append(int(order[p]) + 1)
-                    out_side.append("q")
+            # stable sort: tie -> lower cell id, matching the SQL twin's
+            # ORDER BY sim DESC, cell ASC. Row emission is fully
+            # vectorized — the original per-row .iloc/append loop cost
+            # ~4 s per 5k-row batch in Python object churn alone.
+            order = np.argsort(-S, axis=1, kind="stable")
+            n = len(pdf)
+            # per input row: 1 candidate at the argmax cell + npr probes
+            cells = (np.concatenate([order[:, :1], order[:, :npr]], axis=1) + 1)
+            idx = np.repeat(np.arange(n), 1 + npr)
             yield pd.DataFrame(
-                {"id": out_id, "v": out_v, "cell": out_cell, "side": out_side}
+                {
+                    "id": pdf["id"].to_numpy()[idx],
+                    "v": pdf["v"].to_numpy()[idx],
+                    "cell": cells.reshape(-1).astype("int32"),
+                    "side": np.tile(np.array(["c"] + ["q"] * npr, dtype=object), n),
+                }
             )
 
     # derive the vector element type from the input schema — hardcoding
