@@ -574,6 +574,125 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+def _q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals (top-2/3-gram char
+    fraction, duplicate-bigram occurrence fraction): one fused projection
+    per doc — run-length folds over sorted n-gram arrays, no explode, no
+    shuffle. SQL twin recomputes via unnest + groupBy + row_number with
+    the same (count DESC, gram ASC) tie-break."""
+    from pacts_spark.datapipe.textstats import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+w AS (SELECT doc_id, t, length(t) AS nc, string_split(t, ' ') AS ws FROM s),
+base AS (
+  SELECT doc_id, nc,
+         CASE WHEN nc = 0 THEN 0 ELSE len(ws) END AS nt
+  FROM w
+),
+bi AS (
+  SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS g
+  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS u(i)
+),
+tri AS (
+  SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] || ' ' || ws[u.i + 2] AS g
+  FROM w, UNNEST(range(1, greatest(len(ws) - 2, 0) + 1)) AS u(i)
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+btop AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, c, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM bc
+  ) WHERE rn = 1
+),
+ttop AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, c, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM tc
+  ) WHERE rn = 1
+),
+bdup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+         sum(c) AS tot
+  FROM bc GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(b.nt AS BIGINT) AS n_tokens,
+  CAST(coalesce(btop.c, 0) AS BIGINT) AS top_bigram_count,
+  round(CASE WHEN btop.c IS NOT NULL AND b.nc > 0
+             THEN least(1.0, btop.c * length(btop.g) / b.nc)
+             ELSE 0.0 END, 6) AS top_bigram_char_frac,
+  CAST(coalesce(ttop.c, 0) AS BIGINT) AS top_trigram_count,
+  round(CASE WHEN ttop.c IS NOT NULL AND b.nc > 0
+             THEN least(1.0, ttop.c * length(ttop.g) / b.nc)
+             ELSE 0.0 END, 6) AS top_trigram_char_frac,
+  round(CASE WHEN bdup.tot > 0
+             THEN CAST(coalesce(bdup.dup, 0) AS DOUBLE) / bdup.tot
+             ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM base b
+LEFT JOIN btop USING (doc_id)
+LEFT JOIN ttop USING (doc_id)
+LEFT JOIN bdup USING (doc_id)
+"""
+
+
+def _q_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: deterministic md5(id)%100 split (5%
+    eval), winnowing fingerprints with k=16/w=4 (guaranteed hit for any
+    shared substring >= 19 chars), eval set BROADCAST, output = train
+    docs sharing >= 1 fingerprint with any eval doc."""
+    from pacts_spark.datapipe.textstats import decontamination_hits
+
+    return decontamination_hits(
+        _load(spark, sf_dir, "documents"), eval_pct=5, k=16, w=4
+    )
+
+
+_DECONTAM_SQL = r"""
+WITH s AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.i AS i,
+         CAST('0x' || substr(md5(substr(t, u.i, 16)), 1, 15) AS BIGINT) AS h,
+         length(t) - 16 + 1 AS m
+  FROM s, UNNEST(range(1, greatest(length(t) - 16 + 1, 0) + 1)) AS u(i)
+),
+wmin AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, mn AS fingerprint
+  FROM wmin WHERE i <= greatest(m - 4 + 1, 1)
+),
+lab AS (
+  SELECT doc_id, fingerprint,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+  FROM fp
+)
+SELECT t.doc_id AS doc_id,
+       CAST(count(DISTINCT t.fingerprint) AS BIGINT) AS n_shared_fps,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+FROM lab t JOIN lab e ON t.fingerprint = e.fingerprint AND t.b >= 5 AND e.b < 5
+GROUP BY 1
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -1780,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
+        "repetition_stats_documents": _q_repetition_stats_documents,
+        "decontamination_documents": _q_decontamination_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -1836,6 +1957,8 @@ FROM t
         "fingerprint_documents": _FINGERPRINT_SQL,
         "winnow_fingerprints_documents": _WINNOW_SQL,
         "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
+        "repetition_stats_documents": _REPETITION_SQL,
+        "decontamination_documents": _DECONTAM_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

@@ -56,6 +56,8 @@ HEADLINE = [
     "embed_then_ann",
     "drift_rebalanced_sample",
     "conversation_state_finals",
+    "repetition_stats_documents",
+    "decontamination_documents",
 ]
 
 

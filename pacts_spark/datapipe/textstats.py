@@ -222,3 +222,178 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def _ngram_run_stats(sorted_grams: Column) -> Column:
+    """Fold a SORTED n-gram array into struct(best, bestg, dup):
+
+    - ``best``  — occurrence count of the most frequent n-gram,
+    - ``bestg`` — that n-gram (ties broken lexicographically-smallest,
+      which the ascending sort makes "first max run wins"),
+    - ``dup``   — total occurrences belonging to n-grams that appear
+      more than once (the duplicate-occurrence mass).
+
+    One O(m) ``F.aggregate`` run-length scan per document — no explode,
+    no shuffle, no UDF: at 100 TB the repetition signals ride the
+    parquet scan inside whole-stage codegen, vs the groupBy-per-ngram
+    formulation that shuffles one row per (doc, ngram). The sorted array
+    sits in ARGUMENT position (evaluated once), not captured inside the
+    per-element lambda (the measured shared-subexpression trap,
+    CLAUDE.md)."""
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > F.lit(0)) & (x == acc["prev"])
+        closes = ~same
+        dup = acc["dup"] + F.when(
+            closes & (acc["run"] >= 2), acc["run"]
+        ).otherwise(F.lit(0))
+        better = closes & (
+            (acc["run"] > acc["best"])
+            | (
+                (acc["run"] == acc["best"])
+                & (acc["best"] > F.lit(0))
+                & (acc["prev"] < acc["bestg"])
+            )
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(better, acc["run"]).otherwise(acc["best"]).alias("best"),
+            F.when(better, acc["prev"]).otherwise(acc["bestg"]).alias("bestg"),
+            dup.alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        dup = acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0))
+        better = (acc["run"] > acc["best"]) | (
+            (acc["run"] == acc["best"])
+            & (acc["best"] > F.lit(0))
+            & (acc["prev"] < acc["bestg"])
+        )
+        return F.struct(
+            F.when(better, acc["run"]).otherwise(acc["best"]).alias("best"),
+            F.when(better, acc["prev"]).otherwise(acc["bestg"]).alias("bestg"),
+            dup.alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+        F.lit(0).alias("dup"),
+    )
+    return F.aggregate(sorted_grams, init, merge, finish)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document REPETITION signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1 repetition filters —
+    the standard curation gate a 100 TB text pipeline runs before
+    training): per doc, the character fraction covered by the most
+    frequent word 2-gram / 3-gram and the fraction of 2-gram occurrences
+    that are duplicated. High values = boilerplate / degenerate repetition.
+
+    Word n-gram arrays are built with ``zip_with`` over ``slice``s of the
+    token array — both sit in ARGUMENT position so the split runs a
+    constant number of times per doc (never inside a per-element lambda).
+    The per-doc mode is a run-length fold over the sorted array
+    (:func:`_ngram_run_stats`), so the whole operator is one fused
+    projection: no explode, no groupBy, no shuffle, no Python.
+
+    Output per doc: n_tokens, top_{bi,tri}gram_count,
+    top_{bi,tri}gram_char_frac (capped at 1.0 — overlapping occurrences
+    can cover more chars than the doc has), dup_bigram_frac. Counts are
+    BIGINT and fractions round(6) for cross-engine hash parity.
+    """
+    t = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    words = F.split(t, " ")
+    nw = F.size(words)
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(nw)
+    pair = lambda a, b: F.concat(a, F.lit(" "), b)  # noqa: E731
+    bi = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        pair,
+    )
+    tri = F.zip_with(
+        F.slice(bi, 1, F.greatest(nw - 2, F.lit(0))),
+        F.slice(words, 3, F.greatest(nw - 2, F.lit(0))),
+        pair,
+    )
+    stats = df.select(
+        F.col(id_col),
+        F.length(t).alias("__nc"),
+        n_tok.alias("__nt"),
+        F.size(bi).alias("__nbi"),
+        _ngram_run_stats(F.sort_array(bi)).alias("__b"),
+        _ngram_run_stats(F.sort_array(tri)).alias("__t"),
+    )
+
+    def char_frac(s: Column, nc: Column) -> Column:
+        raw = F.when(
+            (s["best"] > 0) & (nc > 0),
+            F.least(F.lit(1.0), s["best"] * F.length(s["bestg"]) / nc),
+        ).otherwise(F.lit(0.0))
+        return F.round(raw, 6)
+
+    b, tr3, nc = F.col("__b"), F.col("__t"), F.col("__nc")
+    return stats.select(
+        F.col(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        b["best"].cast("long").alias("top_bigram_count"),
+        char_frac(b, nc).alias("top_bigram_char_frac"),
+        tr3["best"].cast("long").alias("top_trigram_count"),
+        char_frac(tr3, nc).alias("top_trigram_char_frac"),
+        F.round(
+            F.when(
+                F.col("__nbi") > 0, b["dup"] / F.col("__nbi")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def decontamination_hits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_pct: int = 5,
+    k: int = 16,
+    w: int = 4,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: flag training documents that share a
+    substring of length >= k + w - 1 characters with any held-out eval
+    document (the winnowing guarantee) — the overlap check every serious
+    pretraining pipeline runs against its benchmark suite before
+    training. The split is a deterministic md5 bucket of the id
+    (``md5(id) % 100 < eval_pct`` = eval), so the operator is seedless
+    and oracle-reproducible.
+
+    Scale shape: eval benchmark suites are tiny next to a 100 TB corpus,
+    so the eval fingerprint set is BROADCAST — the train side is a pure
+    scan + fingerprint projection feeding a broadcast hash join (text
+    never moves, only (id, fingerprint)); the final groupBy shuffles only
+    the HIT rows. Returns one row per contaminated train doc:
+    (id, n_shared_fps, n_eval_docs).
+    """
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    ev = fps.filter(bucket < eval_pct).select(
+        F.col(id_col).alias("__eval_id"), "fingerprint"
+    )
+    tr = fps.filter(bucket >= eval_pct)
+    return (
+        tr.join(F.broadcast(ev), "fingerprint")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("fingerprint").alias("n_shared_fps"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+    )

@@ -560,3 +560,66 @@ def test_winnowing_short_empty_null_docs_emit_no_rows(spark):
     got = winnowing_fingerprints(df, k=8, w=4).collect()
     assert {r.doc_id for r in got} == {5}
     assert all(r.fingerprint is not None for r in got)
+
+
+def test_repetition_stats_known_answers(spark):
+    """Gopher-style repetition signals, closed-form: top-n-gram counts,
+    char fractions (capped at 1.0), duplicate-bigram fraction; ties on
+    count resolve to the lexicographically-smallest gram; empty/NULL/
+    single-word docs emit all-zero signals."""
+    from pacts_spark.datapipe.textstats import repetition_stats
+
+    rows = [
+        (1, "a a a a"),        # bigrams: 3x "a a"
+        (2, "w x y z"),        # all bigrams distinct
+        (3, ""),
+        (4, None),
+        (5, "b c b c b"),      # "b c" x2 ties "c b" x2 -> "b c" wins
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert len(got) == 6
+
+    r = got[1]
+    assert (r.n_tokens, r.top_bigram_count, r.top_trigram_count) == (4, 3, 2)
+    assert r.top_bigram_char_frac == 1.0      # min(1, 3*3/7)
+    assert r.dup_bigram_frac == 1.0
+    r = got[2]
+    assert (r.n_tokens, r.top_bigram_count) == (4, 1)
+    assert r.top_bigram_char_frac == round(3 / 7, 6)
+    assert r.top_trigram_char_frac == round(5 / 7, 6)
+    assert r.dup_bigram_frac == 0.0
+    for d in (3, 4):
+        r = got[d]
+        assert (r.n_tokens, r.top_bigram_count, r.top_trigram_count) == (0, 0, 0)
+        assert (r.top_bigram_char_frac, r.dup_bigram_frac) == (0.0, 0.0)
+    r = got[5]
+    # tie between "b c" and "c b" (2 each) -> lexicographically smallest
+    assert r.top_bigram_count == 2
+    assert r.top_bigram_char_frac == round(2 * 3 / 9, 6)
+    assert r.dup_bigram_frac == 1.0
+    r = got[6]
+    assert (r.n_tokens, r.top_bigram_count, r.dup_bigram_frac) == (1, 0, 0.0)
+
+
+def test_decontamination_hits_split_and_guarantee(spark):
+    """md5(id)%100 < 5 puts ids 10/70 in the EVAL split (precomputed);
+    a train doc sharing a >= k+w-1 = 19-char substring with an eval doc
+    is flagged with the right counts; clean train docs and eval docs
+    themselves never appear."""
+    from pacts_spark.datapipe.textstats import decontamination_hits
+
+    leak = "the secret benchmark answer string"  # >= 19 chars
+    rows = [
+        (10, f"eval question one {leak} end"),          # eval (bucket 0)
+        (70, "eval question two nothing shared here"),  # eval (bucket 1)
+        (1, f"training document copies {leak} verbatim"),  # contaminated
+        (2, "clean training document with original content"),
+        (3, "another clean one completely different words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontamination_hits(df, eval_pct=5).collect()}
+    assert set(got) == {1}
+    assert got[1].n_shared_fps >= 1
+    assert got[1].n_eval_docs == 1
