@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pacts_spark.datapipe.util import ensure_scan_parallelism
+
 # Mersenne prime 2^31-1: universal-hash modulus. With a, b, h < 2^31,
 # a*h + b < 2^62 stays inside a signed 64-bit long (ANSI overflow-safe).
 _P = (1 << 31) - 1
@@ -128,7 +130,7 @@ def ngram_jaccard_pairs(
     contributing little discrimination) — at web scale this cap is what
     keeps the inverted index join linear-ish.
     """
-    sh = df.select(
+    sh = ensure_scan_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     ).distinct()
@@ -181,6 +183,7 @@ def minhash_signatures(
     # materialize shingle hashes ONCE per row before fanning out to k
     # permutations — otherwise Catalyst re-evaluates split+shingle+xxhash64
     # k times per row (measured 20x slowdown at k=64)
+    df = ensure_scan_parallelism(df, id_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -325,7 +328,7 @@ def minhash_verified_pairs(
     cand = lsh_candidate_pairs(
         sigs, bands=k // rows_per_band, rows_per_band=rows_per_band
     )
-    sh = df.select(
+    sh = ensure_scan_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
@@ -364,6 +367,7 @@ def simhash64(
             "would leave the top fingerprint bits constant — pass bits<=60"
         )
     toks = F.array_distinct(_tokens(F.col(text_col)))
+    df = ensure_scan_parallelism(df, id_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: _token_hash(t, token_hash)).alias("__h"),

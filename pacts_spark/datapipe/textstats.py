@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pacts_spark.datapipe.util import ensure_scan_parallelism
+
 # tiny per-language marker lexicons for the n-gram/stopword heuristic —
 # deterministic and reproducible in ANSI SQL (no model, no library)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -153,6 +155,7 @@ def winnowing_fingerprints(
     positions, array_min over hash slices, array_distinct, one explode.
     Output: one row per (doc_id, fingerprint), distinct per doc.
     """
+    df = ensure_scan_parallelism(df, id_col)
     t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     m = F.length(t) - F.lit(k) + 1  # number of k-grams
     # GUARD m < 1: sequence(1, 0) yields DESCENDING [1, 0] (not empty) in
@@ -376,19 +379,25 @@ def decontamination_hits(
     so the eval fingerprint set is BROADCAST — the train side is a pure
     scan + fingerprint projection feeding a broadcast hash join (text
     never moves, only (id, fingerprint)); the final groupBy shuffles only
-    the HIT rows. Returns one row per contaminated train doc:
-    (id, n_shared_fps, n_eval_docs).
+    the HIT rows. The eval/train split is applied to the DOCUMENT rows
+    BEFORE winnowing: fingerprinting is a pure per-doc projection, so
+    splitting first computes each doc's grams exactly once, whereas
+    filtering a shared fingerprint frame on both join sides re-runs the
+    whole winnowing projection per reference (the round-3 self-join
+    lesson; measured 2x on the md5-gram hot path). Returns one row per
+    contaminated train doc: (id, n_shared_fps, n_eval_docs).
     """
-    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    ev = fps.filter(bucket < eval_pct).select(
-        F.col(id_col).alias("__eval_id"), "fingerprint"
+    ev = winnowing_fingerprints(
+        df.filter(bucket < eval_pct), k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("__eval_id"), "fingerprint")
+    tr = winnowing_fingerprints(
+        df.filter(bucket >= eval_pct), k=k, w=w, text_col=text_col, id_col=id_col
     )
-    tr = fps.filter(bucket >= eval_pct)
     return (
         tr.join(F.broadcast(ev), "fingerprint")
         .groupBy(id_col)
