@@ -1797,7 +1797,10 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
 
     tmp = os.path.join(base, "w_turns")
-    turns.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition(1), NOT coalesce(1): coalesce narrows the whole upstream
+    # window derivation to one task; the extra exchange keeps the window
+    # stage at full parallelism and only the final file write is serial
+    turns.repartition(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     turns_dst = os.path.join(src, "000_turns.parquet")
     shutil.copy(part, turns_dst)
@@ -1847,14 +1850,24 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").parquet(out)
 
-    q = (
-        verdicts.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # The state store opens+commits one delta per shuffle partition per
+    # micro-batch; at 32 partitions x 4 batches that fixed cost dwarfs the
+    # ~1.5k-conversation state itself. 8 partitions is plenty for the
+    # state volume here and the plan's partition count is baked into the
+    # FRESH checkpoint at start, so this never conflicts with a restore.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            verdicts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.read.parquet(out)
         .filter(F.col("is_final") & ~F.col("conv_id").startswith("sentinel-"))

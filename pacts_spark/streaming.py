@@ -120,10 +120,15 @@ def conversation_state_verdicts(
                 continue
             pdf = pdf.sort_values(["turn_idx", ts_col], kind="mergesort")
             t = pdf["turn_idx"].to_numpy()
-            # running max BEFORE each element, seeded with the cross-batch max
-            prev = pd.Series(t).cummax().shift(1, fill_value=mx).to_numpy()
-            prev = [max(p, mx) for p in prev]
-            reg += int(sum(ti <= pi for ti, pi in zip(t, prev)))
+            # running max BEFORE each element, seeded with the cross-batch
+            # max — all vectorized (a per-row list comp here cost ~10 s per
+            # 4M-turn batch; round-4 lesson: vectorize pandas-UDF row work)
+            import numpy as np
+
+            prev = np.maximum(
+                pd.Series(t).cummax().shift(1, fill_value=mx).to_numpy(), mx
+            )
+            reg += int((t <= prev).sum())
             mx = max(mx, int(t.max()))
             n += len(pdf)
             # naive-timestamp → epoch ms WITHOUT local-tz interpretation
