@@ -44,6 +44,7 @@ from pacts_spark.datapipe.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from pacts_spark.datapipe.packing import pack_oracle_sql
 from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
 from pacts_spark.datapipe.textstats import doc_fingerprint, language_id, text_stats
 from pacts_spark.engine import PactsEngine
@@ -691,6 +692,80 @@ SELECT t.doc_id AS doc_id,
 FROM lab t JOIN lab e ON t.fingerprint = e.fingerprint AND t.b >= 5 AND e.b < 5
 GROUP BY 1
 """
+
+
+def _q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically-dirtied corpus: the synthetic
+    documents carry no PII, so the query first appends a doc_id-derived
+    email+URL / IPv4 / phone suffix to 3 of every 4 docs (both engines
+    derive the identical dirty text), then runs the 4-pattern redaction
+    (url -> email -> ipv4 -> phone) with per-class removal counts."""
+    from pacts_spark.datapipe.pii import pii_scrub
+
+    df = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    suffix = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                s(d),
+                F.lit("@example.com or http://site"),
+                s(d % 100),
+                F.lit(".example.com/path?id="),
+                s(d),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit(" from host 10."), s(d % 256), F.lit(".0."), s((d * 7) % 256)),
+        )
+        .when(d % 4 == 2, F.concat(F.lit(" call +1555"), F.lpad(s(d), 7, "0")))
+        .otherwise(F.lit(""))
+    )
+    dirty = df.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return pii_scrub(dirty)
+
+
+_PII_URL = "https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{7,15}"
+
+_PII_SCRUB_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or http://site' || CAST(doc_id % 100 AS VARCHAR) || '.example.com/path?id=' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 4 = 1 THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           WHEN doc_id % 4 = 2 THEN ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           ELSE '' END AS text
+  FROM documents
+),
+r1 AS (SELECT doc_id, text AS t0, regexp_replace(text, '{_PII_URL}', '<URL>', 'g') AS t1 FROM dirty),
+r2 AS (SELECT *, regexp_replace(t1, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t2 FROM r1),
+r3 AS (SELECT *, regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3 FROM r2)
+SELECT doc_id,
+       regexp_replace(t3, '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t0, '{_PII_URL}')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(t1, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t3, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+FROM r3
+"""
+
+
+def _q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing (budget=256 whitespace tokens,
+    16 md5-hash groups): the pretraining 'pack documents into
+    fixed-token training examples' step. DuckDB twin replays the same
+    per-group recurrence as a recursive CTE."""
+    from pacts_spark.datapipe.packing import pack_sequences
+
+    return pack_sequences(
+        _load(spark, sf_dir, "documents"), budget=256, n_groups=16
+    )
 
 
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,6 +1989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "repetition_stats_documents": _q_repetition_stats_documents,
         "decontamination_documents": _q_decontamination_documents,
+        "pii_scrub_documents": _q_pii_scrub_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -1972,6 +2049,10 @@ FROM t
         "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
         "repetition_stats_documents": _REPETITION_SQL,
         "decontamination_documents": _DECONTAM_SQL,
+        "pii_scrub_documents": _PII_SCRUB_SQL,
+        "pack_sequences_documents": pack_oracle_sql(
+            "SELECT * FROM documents", budget=256, n_groups=16
+        ),
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

@@ -58,6 +58,8 @@ HEADLINE = [
     "conversation_state_finals",
     "repetition_stats_documents",
     "decontamination_documents",
+    "pii_scrub_documents",
+    "pack_sequences_documents",
 ]
 
 

@@ -623,3 +623,69 @@ def test_decontamination_hits_split_and_guarantee(spark):
     assert set(got) == {1}
     assert got[1].n_shared_fps >= 1
     assert got[1].n_eval_docs == 1
+
+
+def test_pii_scrub_known_answers(spark):
+    """Redaction order (url -> email -> ipv4 -> phone) and per-class
+    counts on crafted text; http://user@host credentials are swallowed
+    by the URL token, never half-matched as an email."""
+    from pacts_spark.datapipe.pii import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@example.org today"),
+        (2, "see https://ex.com/p?q=1 or http://user@host.example.com/x"),
+        (3, "server 192.168.0.1 then call +15551234567"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].clean_text == "mail me at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_url) == (1, 0)
+    # both URLs redacted as URLs; the embedded user@host never counts as email
+    assert got[2].clean_text == "see <URL> or <URL>"
+    assert (got[2].n_url, got[2].n_email) == (2, 0)
+    assert got[3].clean_text == "server <IP> then call <PHONE>"
+    assert (got[3].n_ipv4, got[3].n_phone) == (1, 1)
+    assert got[4].clean_text == "nothing sensitive here"
+    assert (got[4].n_url, got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0, 0)
+
+
+def test_pack_sequences_next_fit(spark):
+    """Greedy next-fit with n_groups=1: docs in id order, budget 5.
+    Token counts 3,2,4,9,1 -> bins [0,0,1,2,3]: 3+2 fits, 4 opens bin 1,
+    the oversized 9-token doc gets its own bin (never split), 1 opens the
+    next bin because 9+1 > 5."""
+    from pacts_spark.datapipe.packing import pack_sequences
+
+    rows = [
+        (1, "a b c"),
+        (2, "d e"),
+        (3, "f g h i"),
+        (4, "j k l m n o p q r"),
+        (5, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(df, budget=5, n_groups=1).collect()}
+    assert [got[i].bin_idx for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    assert [got[i].n_tokens for i in (1, 2, 3, 4, 5)] == [3, 2, 4, 9, 1]
+    assert all(got[i].pack_group == 0 for i in got)
+
+
+def test_pack_sequences_groups_partition_rows(spark):
+    """Every doc lands in exactly one md5-derived group; within each
+    group bin fill never exceeds the budget except single oversized
+    docs; group assignment is deterministic across runs."""
+    from pacts_spark.datapipe.packing import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 13).cast("int"))).alias("text"),
+    )
+    out = pack_sequences(df, budget=20, n_groups=4).toPandas()
+    assert len(out) == 200 and out.doc_id.nunique() == 200
+    assert set(out.pack_group.unique()) <= {0, 1, 2, 3}
+    fills = out.groupby(["pack_group", "bin_idx"]).n_tokens.agg(["sum", "count", "max"])
+    over = fills[fills["sum"] > 20]
+    assert (over["count"] == 1).all()  # only oversized singletons exceed budget
+    out2 = pack_sequences(df, budget=20, n_groups=4).toPandas()
+    assert out.sort_values("doc_id").pack_group.tolist() == out2.sort_values("doc_id").pack_group.tolist()
