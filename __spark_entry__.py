@@ -768,6 +768,50 @@ def _q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup at 8-token chunk granularity (Lee et
+    al.-style exact substring dedup, chunk-quantized): keep only the
+    corpus-wide first occurrence — min (doc_id, chunk_idx) — of every
+    distinct chunk; reassemble per-doc deduplicated text. First-occurrence
+    is an arg-min AGGREGATE (map-side combine absorbs boilerplate hot
+    chunks), never a hash-partitioned window; the decision shuffle
+    carries (md5, id, idx) only."""
+    from pacts_spark.datapipe.dedup import chunk_dedup
+
+    return chunk_dedup(_load(spark, sf_dir, "documents"), k=8)
+
+
+_CHUNK_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, u.i AS chunk_idx,
+         array_to_string(ws[(u.i * 8 + 1):(u.i * 8 + 8)], ' ') AS chunk
+  FROM docs, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM (
+    SELECT doc_id, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.dedup_text, '') AS dedup_text
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -1991,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_documents": _q_decontamination_documents,
         "pii_scrub_documents": _q_pii_scrub_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
+        "chunk_dedup_documents": _q_chunk_dedup_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -2053,6 +2098,7 @@ FROM t
         "pack_sequences_documents": pack_oracle_sql(
             "SELECT * FROM documents", budget=256, n_groups=16
         ),
+        "chunk_dedup_documents": _CHUNK_DEDUP_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

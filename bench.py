@@ -60,6 +60,7 @@ HEADLINE = [
     "decontamination_documents",
     "pii_scrub_documents",
     "pack_sequences_documents",
+    "chunk_dedup_documents",
 ]
 
 

@@ -9,6 +9,7 @@ Python appears only in Arrow-batched pandas UDFs where semantics demand it
 (multimodal decode stubs)."""
 
 from pacts_spark.datapipe.dedup import (
+    chunk_dedup,
     exact_duplicate_pairs,
     exact_duplicates,
     minhash_signatures,
@@ -26,6 +27,7 @@ from pacts_spark.datapipe.textstats import (
 )
 
 __all__ = [
+    "chunk_dedup",
     "exact_duplicate_pairs",
     "hashed_ngram_embedding",
     "exact_duplicates",

@@ -114,6 +114,95 @@ def exact_duplicate_pairs(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide PASSAGE-level exact dedup at k-token chunk granularity
+    (the chunk-granular variant of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": repeated passages are removed
+    EVERYWHERE except their first occurrence, even when the containing
+    documents differ). Each doc is split into consecutive non-overlapping
+    k-token chunks; a chunk survives iff it is the corpus-wide FIRST
+    occurrence of its text — min (doc_id, chunk_idx) per distinct chunk —
+    and each doc's surviving chunks are reassembled in order.
+
+    Output: (doc_id, n_chunks, n_kept, dedup_text), one row per doc; a
+    doc whose every chunk duplicates earlier text keeps n_kept = 0 and
+    dedup_text = ''.
+
+    Scale design (the reason this is not a window over md5(chunk)):
+
+    - Chunking is a pure-Column split + slice projection (no shuffle);
+      the chunk array is materialized in its OWN projection before any
+      per-element lambda touches it (shared-subexpression re-eval trap).
+    - First-occurrence is an ARG-MIN AGGREGATE — groupBy(chunk md5)
+      .agg(min(struct(doc_id, chunk_idx))) — not row_number over a hash
+      window: map-side partial aggregation absorbs hot chunks, so a
+      boilerplate passage repeated 10^9 times never lands 10^9 rows on
+      one reducer (the skew failure a window would have). The decision
+      shuffle carries (16-byte md5, id, idx) — never chunk text.
+    - Winners collapse to one int-array row per doc (sorted kept
+      chunk_idx list, bounded by n_chunks), then join back to the docs
+      table 1:1 on doc_id — uniform key, skew-free — and reassembly is
+      an index-filter over the re-derived chunk array. Net: two corpus
+      scans + three agg/join shuffles, none carrying text except the
+      final 1:1 join; cheaper at 100 TB than checkpointing the exploded
+      chunk table to avoid the second scan.
+    """
+    df = ensure_scan_parallelism(df, id_col)
+    words = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # split('', ' ') == [''] in BOTH engines, so size >= 1 and every doc
+    # has >= 1 chunk; n_chunks = ceil(size / k)
+    tokd = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    n_chunks = F.ceil(F.size(w) / F.lit(k)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+    )
+    chunks = tokd.select(
+        F.col(id_col),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
+    )
+    winners = (
+        chunks.select(
+            F.md5(F.col("chunk")).alias("__h"), F.col(id_col), "chunk_idx"
+        )
+        .groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__w0"))
+        .select(
+            F.col(f"__w0.{id_col}").alias(id_col),
+            F.col("__w0.chunk_idx").alias("chunk_idx"),
+        )
+    )
+    kept_by_doc = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("chunk_idx")).alias("__keep")
+    )
+    joined = tokd.join(kept_by_doc, id_col, "left").select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        chunk_arr.alias("__chunks"),
+        F.coalesce(F.col("__keep"), F.array().cast("array<int>")).alias(
+            "__keep"
+        ),
+    )
+    # (element, index) two-param HOF lambda: keep chunks whose position is
+    # in the winner set; __keep/__chunks are materialized attributes here
+    kept_chunks = F.filter(
+        F.col("__chunks"),
+        lambda c, i: F.array_contains(F.col("__keep"), i.cast("int")),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size("__keep").cast("long").alias("n_kept"),
+        F.array_join(kept_chunks, " ").alias("dedup_text"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pacts_spark.datapipe.dedup import (
+    chunk_dedup,
     exact_duplicates,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -39,6 +40,47 @@ def test_exact_duplicates(docs):
     out = exact_duplicates(docs).collect()
     assert len(out) == 1
     assert out[0].canonical_id == 1 and out[0].ids == [1, 2]
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    """Passage-level dedup: cross-doc AND intra-doc repeats keep only the
+    corpus-wide first occurrence; empty/NULL docs chunk to [''] and dedup
+    against each other; a fully-duplicated doc keeps nothing."""
+    rows = [
+        (1, "a b c d e f"),  # chunks: "a b", "c d", "e f" — all first
+        (2, "a b x y"),      # "a b" dups doc 1 -> keeps only "x y"
+        (3, "c d c d"),      # both chunks dup doc 1 -> keeps nothing
+        (4, ""),             # one '' chunk, first occurrence
+        (5, None),           # NULL -> '' chunk, dups doc 4
+        (6, "p q p q r"),    # intra-doc repeat: "p q", "p q", "r"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup(df, k=2).collect()}
+    assert len(out) == 6
+    assert (out[1].n_chunks, out[1].n_kept, out[1].dedup_text) == (
+        3, 3, "a b c d e f"
+    )
+    assert (out[2].n_chunks, out[2].n_kept, out[2].dedup_text) == (2, 1, "x y")
+    assert (out[3].n_chunks, out[3].n_kept, out[3].dedup_text) == (2, 0, "")
+    assert (out[4].n_chunks, out[4].n_kept, out[4].dedup_text) == (1, 1, "")
+    assert (out[5].n_chunks, out[5].n_kept, out[5].dedup_text) == (1, 0, "")
+    assert (out[6].n_chunks, out[6].n_kept, out[6].dedup_text) == (
+        3, 2, "p q r"
+    )
+
+
+def test_chunk_dedup_hot_chunk_is_aggregated(spark):
+    """Mass-repeated boilerplate chunk (the skew case the arg-min
+    AGGREGATE exists for): 200k copies of one chunk reduce to a single
+    winner without any per-key row concentration beyond the combine
+    output; every other doc keeps nothing."""
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"), F.lit("same old boilerplate").alias("text")
+    )
+    out = chunk_dedup(df, k=8)
+    kept = out.filter(F.col("n_kept") > 0).collect()
+    assert len(kept) == 1 and kept[0].doc_id == 0
+    assert out.count() == 200_000
 
 
 def test_exact_duplicates_mass_duplication_bounded(spark):
