@@ -812,6 +812,66 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_top_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word trigrams by total occurrence count
+    (boilerplate/contamination survey). Two-level aggregation — (gram,
+    doc) pre-reduce, then gram with map-side combine — and a TakeOrdered
+    final cut; the (count DESC, ngram ASC) total order makes the top-100
+    set deterministic in both engines."""
+    from pacts_spark.datapipe.textstats import top_ngrams
+
+    return top_ngrams(_load(spark, sf_dir, "documents"), n=3, topk=100)
+
+
+_TOP_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] || ' ' || t[u.i + 2] AS ngram
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+),
+pd AS (SELECT ngram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT ngram, CAST(sum(c) AS BIGINT) AS total_count,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pd GROUP BY 1
+ORDER BY total_count DESC, ngram ASC
+LIMIT 100
+"""
+
+
+def _q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a delta batch (doc_id % 5 == 0) against the
+    already-ingested corpus's content-hash index (the other 80%):
+    batch-local arg-min then anti-join on md5 — the never-re-dedup-the-
+    corpus ingest pattern."""
+    from pacts_spark.datapipe.dedup import dedup_against_index
+
+    docs = _load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash")
+    )
+    return dedup_against_index(batch, index)
+
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH batch AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 = 0
+),
+idx AS (
+  SELECT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+),
+w AS (SELECT h, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+SELECT w.doc_id, w.h AS content_hash
+FROM w
+WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = w.h)
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -2036,6 +2096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": _q_pii_scrub_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
         "chunk_dedup_documents": _q_chunk_dedup_documents,
+        "top_ngrams_documents": _q_top_ngrams_documents,
+        "incremental_dedup_documents": _q_incremental_dedup_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -2099,6 +2161,8 @@ FROM t
             "SELECT * FROM documents", budget=256, n_groups=16
         ),
         "chunk_dedup_documents": _CHUNK_DEDUP_SQL,
+        "top_ngrams_documents": _TOP_NGRAMS_SQL,
+        "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

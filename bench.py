@@ -61,6 +61,8 @@ HEADLINE = [
     "pii_scrub_documents",
     "pack_sequences_documents",
     "chunk_dedup_documents",
+    "top_ngrams_documents",
+    "incremental_dedup_documents",
 ]
 
 

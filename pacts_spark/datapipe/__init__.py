@@ -10,6 +10,7 @@ Python appears only in Arrow-batched pandas UDFs where semantics demand it
 
 from pacts_spark.datapipe.dedup import (
     chunk_dedup,
+    dedup_against_index,
     exact_duplicate_pairs,
     exact_duplicates,
     minhash_signatures,
@@ -24,10 +25,13 @@ from pacts_spark.datapipe.textstats import (
     doc_fingerprint,
     language_id,
     text_stats,
+    top_ngrams,
 )
 
 __all__ = [
     "chunk_dedup",
+    "dedup_against_index",
+    "top_ngrams",
     "exact_duplicate_pairs",
     "hashed_ngram_embedding",
     "exact_duplicates",

@@ -203,6 +203,34 @@ def chunk_dedup(
     )
 
 
+def dedup_against_index(
+    batch: DataFrame,
+    index_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL exact dedup: which docs of a new BATCH survive against
+    an already-deduplicated corpus represented by its content-hash index
+    (``index_hashes``: any frame with a ``content_hash`` column, e.g. the
+    manifest table's hash column). Survivors are (a) the intra-batch
+    first occurrence of their text (arg-min over the batch) and (b)
+    absent from the index. Output: (doc_id, content_hash).
+
+    This is the 100 TB ingest pattern: the corpus is never re-deduped —
+    each delta is hashed, reduced batch-locally (map-side combine), and
+    ANTI-JOINED against the index on the 128-bit hash. Both shuffles
+    carry (hash, id) only, uniform by construction; text never moves.
+    """
+    bh = batch.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
+        F.col(id_col),
+    )
+    winners = bh.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return winners.join(
+        index_hashes.select("content_hash"), "content_hash", "left_anti"
+    ).select(F.col(id_col), F.col("content_hash"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

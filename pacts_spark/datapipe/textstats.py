@@ -359,6 +359,48 @@ def repetition_stats(
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    topk: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams: (ngram, total_count,
+    n_docs) for the ``topk`` grams by (total_count DESC, ngram ASC) —
+    the boilerplate/contamination survey a curation pipeline runs before
+    choosing dedup/filter thresholds (the corpus-level complement of the
+    per-doc :func:`repetition_stats`).
+
+    Scale design: n-gram arrays are zip_with over token-array slices —
+    all argument position, constant splits per doc (never a per-element
+    lambda). The count is TWO-level: groupBy(ngram, doc) then
+    groupBy(ngram), so a gram hot across the whole corpus is pre-reduced
+    to one row per (gram, doc) before the global agg, whose map-side
+    combine absorbs the rest — no hot reducer. The final order-by-limit
+    compiles to TakeOrdered (per-partition top-k, driver merges
+    topk x partitions rows, bounded); the (count, ngram) total order
+    makes the cut deterministic.
+    """
+    df = ensure_scan_parallelism(df, id_col)
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    nw = F.size(words)
+    pair = lambda a, b: F.concat(a, F.lit(" "), b)  # noqa: E731
+    g = words
+    for i in range(2, n + 1):
+        m = F.greatest(nw - (i - 1), F.lit(0))
+        g = F.zip_with(F.slice(g, 1, m), F.slice(words, i, m), pair)
+    grams = df.select(F.col(id_col), F.explode(g).alias("ngram"))
+    per_doc = grams.groupBy("ngram", id_col).agg(F.count("*").alias("__c"))
+    agg = per_doc.groupBy("ngram").agg(
+        F.sum("__c").cast("long").alias("total_count"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("total_count").desc(), F.col("ngram").asc()
+    ).limit(topk)
+
+
 def decontamination_hits(
     df: DataFrame,
     id_col: str = "doc_id",

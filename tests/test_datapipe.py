@@ -83,6 +83,44 @@ def test_chunk_dedup_hot_chunk_is_aggregated(spark):
     assert out.count() == 200_000
 
 
+def test_top_ngrams_counts_and_deterministic_cut(spark):
+    """Trigram totals count every occurrence (not distinct-per-doc), and
+    the top-k cut is deterministic under count ties via the ngram ASC
+    tie-break; short/empty docs emit nothing."""
+    from pacts_spark.datapipe.textstats import top_ngrams
+
+    rows = [
+        (1, "a b c a b c"),  # trigrams: a b c (x2), b c a, c a b
+        (2, "a b c x"),      # a b c, b c x
+        (3, "z"),            # too short
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in top_ngrams(df, n=3, topk=2).collect()]
+    assert out == [("a b c", 3, 2), ("b c a", 1, 1)]
+    full = {r.ngram: (r.total_count, r.n_docs) for r in
+            top_ngrams(df, n=3, topk=100).collect()}
+    assert full == {
+        "a b c": (3, 2), "b c a": (1, 1), "c a b": (1, 1), "b c x": (1, 1),
+    }
+
+
+def test_dedup_against_index(spark):
+    """Incremental dedup: batch-local first occurrence survives only if
+    its hash is absent from the corpus index."""
+    from pacts_spark.datapipe.dedup import dedup_against_index
+
+    batch = spark.createDataFrame(
+        [(10, "x"), (20, "x"), (30, "y"), (40, "z")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame([("y",)], "t string").select(
+        F.md5("t").alias("content_hash")
+    )
+    out = sorted(r.doc_id for r in dedup_against_index(batch, index).collect())
+    assert out == [10, 40]
+
+
 def test_exact_duplicates_mass_duplication_bounded(spark):
     """1 key x 10^6 rows (the boilerplate-document failure mode): ids must
     hold only the max_ids smallest ids while dup_count carries the true
