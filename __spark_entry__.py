@@ -872,6 +872,27 @@ WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = w.h)
 """
 
 
+def _q_global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-wide training-order shuffle with a global
+    0-based ordinal (seeded md5 total order). Spark assigns ranks with
+    the bounded-driver zipWithIndex pattern (256 hash-prefix buckets,
+    per-bucket window + cumulative offsets); the oracle replays the same
+    total order as one row_number — equal because a string-PREFIX bucket
+    preserves lexicographic order."""
+    from pacts_spark.datapipe.sampling import global_shuffle
+
+    return global_shuffle(_load(spark, sf_dir, "documents"), seed=42)
+
+
+_GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+            ) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -2098,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_documents": _q_chunk_dedup_documents,
         "top_ngrams_documents": _q_top_ngrams_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
+        "global_shuffle_documents": _q_global_shuffle_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -2163,6 +2185,7 @@ FROM t
         "chunk_dedup_documents": _CHUNK_DEDUP_SQL,
         "top_ngrams_documents": _TOP_NGRAMS_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
+        "global_shuffle_documents": _GLOBAL_SHUFFLE_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

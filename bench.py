@@ -63,6 +63,7 @@ HEADLINE = [
     "chunk_dedup_documents",
     "top_ngrams_documents",
     "incremental_dedup_documents",
+    "global_shuffle_documents",
 ]
 
 

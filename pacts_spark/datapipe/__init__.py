@@ -20,6 +20,7 @@ from pacts_spark.datapipe.dedup import (
     simhash64,
 )
 from pacts_spark.datapipe.embedding import hashed_ngram_embedding
+from pacts_spark.datapipe.sampling import global_shuffle
 from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
 from pacts_spark.datapipe.textstats import (
     doc_fingerprint,
@@ -31,6 +32,7 @@ from pacts_spark.datapipe.textstats import (
 __all__ = [
     "chunk_dedup",
     "dedup_against_index",
+    "global_shuffle",
     "top_ngrams",
     "exact_duplicate_pairs",
     "hashed_ngram_embedding",

@@ -119,3 +119,58 @@ def stratified_hash_sample(
         else F.lit(_threshold(default_rate))
     )
     return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus-wide training-order shuffle with a GLOBAL
+    0-based ordinal: every row gets ``shuffle_rank`` = its position under
+    the seeded pseudo-random total order (md5 of ``seed:id``, ties by
+    id) — the "shuffle the corpus before packing/sharding" step of a
+    pretraining pipeline, reproducible across runs and engines.
+
+    Scale design — the bounded-driver zipWithIndex pattern, never a
+    single-partition global sort: rows bucket by the FIRST TWO HEX CHARS
+    of the order key (256 buckets; a string-prefix bucket means ordering
+    by (bucket, key) equals ordering by key alone), per-bucket counts
+    come back to the driver (<= 256 rows — bounded regardless of corpus
+    size), and rank = cumulative_offset[bucket] + row_number within the
+    bucket. The only data-sized work is one hash-partitioned window sort
+    over ~N/256-row buckets; skew is impossible because md5 prefixes are
+    uniform by construction.
+    """
+    from pyspark.sql import Window
+
+    # NULL ids hash as the empty string (a NULL hash would make the
+    # bucket key NULL and the driver-side sorted() heterogeneous) and
+    # tie-break first via Spark's asc-nulls-first default.
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+    hashed = df.select(F.col(id_col), h.alias("__h"), F.substring(h, 1, 2).alias("__b"))
+    # bounded driver state: one count per bucket (<= 256 rows)
+    counts = {r["__b"]: r["cnt"] for r in hashed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:  # empty input: create_map() of zero entries is typeless
+        return df.select(
+            F.col(id_col), F.lit(0).cast("long").alias("shuffle_rank")
+        )
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
+    )
+    return hashed.select(
+        F.col(id_col),
+        (off_map[F.col("__b")] + rn - 1).cast("long").alias("shuffle_rank"),
+    )

@@ -121,6 +121,40 @@ def test_dedup_against_index(spark):
     assert out == [10, 40]
 
 
+def test_global_shuffle_is_a_permutation_and_matches_total_order(spark):
+    """shuffle_rank is an exact 0..N-1 permutation, reproducible, equal
+    to the rank under the plain (md5, id) total order computed directly,
+    and seed-sensitive."""
+    from pacts_spark.datapipe.sampling import global_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(df, seed=42)
+    ranks = sorted(r.shuffle_rank for r in out.collect())
+    assert ranks == list(range(500))
+    # direct single-partition reference order
+    ref = {
+        r.doc_id: i
+        for i, r in enumerate(
+            df.select(
+                "doc_id",
+                F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))).alias("h"),
+            )
+            .orderBy("h", "doc_id")
+            .collect()
+        )
+    }
+    got = {r.doc_id: r.shuffle_rank for r in out.collect()}
+    assert got == ref
+    got2 = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, seed=42).collect()}
+    assert got2 == got
+    other = {r.doc_id: r.shuffle_rank for r in global_shuffle(df, seed=7).collect()}
+    assert other != got
+    # NULL id: hashes as '', still a full permutation (regression: NULL
+    # bucket key broke the driver-side offset sort)
+    withnull = spark.createDataFrame([(1,), (None,), (2,)], "doc_id int")
+    assert sorted(r.shuffle_rank for r in global_shuffle(withnull).collect()) == [0, 1, 2]
+
+
 def test_exact_duplicates_mass_duplication_bounded(spark):
     """1 key x 10^6 rows (the boilerplate-document failure mode): ids must
     hold only the max_ids smallest ids while dup_count carries the true
