@@ -893,6 +893,72 @@ FROM documents
 """
 
 
+def _q_shard_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget output sharding in global shuffle order: shard_id =
+    exclusive-prefix-sum(n_tokens) DIV budget over the seeded md5 total
+    order. Spark uses the bounded-driver two-phase prefix sum (256
+    hash-prefix buckets; per-bucket running sums + driver-side token
+    offsets); the oracle replays the same order as one window sum."""
+    from pacts_spark.datapipe.sampling import shard_assign
+
+    return shard_assign(
+        _load(spark, sf_dir, "documents"), budget_tokens=512, seed=42
+    )
+
+
+_SHARD_ASSIGN_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         md5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank,
+       n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER (
+              ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 512 AS BIGINT) AS shard_id
+FROM s
+"""
+
+
+def _q_mixture_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: per-source epoch factors
+    rep_s = (w_s/count_s)/min_t(w_t/count_t) realized as floor(rep)
+    copies + one hash-sampled fractional copy; output one row per
+    (doc, rep_ix). Strata outside the weight map are dropped."""
+    from pacts_spark.datapipe.sampling import mixture_upsample
+
+    return mixture_upsample(
+        _load(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.15},
+        stratum_col="source",
+    )
+
+
+_MIXTURE_UPSAMPLE_SQL = """
+WITH cur AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w(source, wt) AS (VALUES ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+                         ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.15 AS DOUBLE))),
+r AS (SELECT cur.source, wt / c AS ratio FROM cur JOIN w USING (source)),
+m AS (SELECT min(ratio) AS minr FROM r),
+rep AS (SELECT source, ratio / minr AS rep FROM r, m),
+plan AS (SELECT source, CAST(floor(rep) AS BIGINT) AS base,
+                CAST(floor((rep - floor(rep)) * 10000 + 0.5) AS BIGINT) AS thr
+         FROM rep),
+n AS (SELECT doc_id, d.source,
+             base + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr
+                         THEN 1 ELSE 0 END AS nc
+      FROM documents d JOIN plan USING (source))
+SELECT doc_id, source, CAST(u.x AS BIGINT) AS rep_ix
+FROM n, UNNEST(range(n.nc)) AS u(x)
+WHERE nc >= 1
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -2120,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_documents": _q_top_ngrams_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
         "global_shuffle_documents": _q_global_shuffle_documents,
+        "shard_assign_documents": _q_shard_assign_documents,
+        "mixture_upsample_documents": _q_mixture_upsample_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
         "token_pieces_documents": _q_token_pieces_documents,
@@ -2186,6 +2254,8 @@ FROM t
         "top_ngrams_documents": _TOP_NGRAMS_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "global_shuffle_documents": _GLOBAL_SHUFFLE_SQL,
+        "shard_assign_documents": _SHARD_ASSIGN_SQL,
+        "mixture_upsample_documents": _MIXTURE_UPSAMPLE_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,
         "token_pieces_documents": _token_pieces_sql(),

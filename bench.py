@@ -64,6 +64,8 @@ HEADLINE = [
     "top_ngrams_documents",
     "incremental_dedup_documents",
     "global_shuffle_documents",
+    "shard_assign_documents",
+    "mixture_upsample_documents",
 ]
 
 

@@ -20,7 +20,11 @@ from pacts_spark.datapipe.dedup import (
     simhash64,
 )
 from pacts_spark.datapipe.embedding import hashed_ngram_embedding
-from pacts_spark.datapipe.sampling import global_shuffle
+from pacts_spark.datapipe.sampling import (
+    global_shuffle,
+    mixture_upsample,
+    shard_assign,
+)
 from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
 from pacts_spark.datapipe.textstats import (
     doc_fingerprint,
@@ -33,6 +37,8 @@ __all__ = [
     "chunk_dedup",
     "dedup_against_index",
     "global_shuffle",
+    "mixture_upsample",
+    "shard_assign",
     "top_ngrams",
     "exact_duplicate_pairs",
     "hashed_ngram_embedding",

@@ -121,6 +121,19 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col)) < thr)
 
 
+def _shuffle_key(id_col: str, seed: int) -> Column:
+    """Seeded pseudo-random order key: md5 of ``seed:id``. NULL ids hash
+    as the empty string (a NULL hash would make the bucket key NULL and
+    the driver-side sorted() heterogeneous) and tie-break first via
+    Spark's asc-nulls-first default."""
+    return F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -144,15 +157,7 @@ def global_shuffle(
     """
     from pyspark.sql import Window
 
-    # NULL ids hash as the empty string (a NULL hash would make the
-    # bucket key NULL and the driver-side sorted() heterogeneous) and
-    # tie-break first via Spark's asc-nulls-first default.
-    h = F.md5(
-        F.concat(
-            F.lit(f"{seed}:"),
-            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-        )
-    )
+    h = _shuffle_key(id_col, seed)
     hashed = df.select(F.col(id_col), h.alias("__h"), F.substring(h, 1, 2).alias("__b"))
     # bounded driver state: one count per bucket (<= 256 rows)
     counts = {r["__b"]: r["cnt"] for r in hashed.groupBy("__b").agg(F.count("*").alias("cnt")).collect()}
@@ -173,4 +178,155 @@ def global_shuffle(
     return hashed.select(
         F.col(id_col),
         (off_map[F.col("__b")] + rn - 1).cast("long").alias("shuffle_rank"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    budget_tokens: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget output sharding in global shuffle order — the "write
+    the shuffled corpus as ~N-token shards" step of a pretraining
+    pipeline. Every doc gets (shuffle_rank, n_tokens, shard_id) where
+    shard_id = exclusive-prefix-sum(n_tokens in shuffle order) DIV
+    budget_tokens: shard boundaries fall at fixed token offsets, so
+    shard sizes are within one doc of the budget, the assignment is a
+    pure function of (corpus, seed, budget), and downstream writers can
+    partitionBy("shard_id") without any further coordination.
+
+    Scale design — the same bounded-driver two-phase pattern as
+    ``global_shuffle``: rows bucket by the first two hex chars of the
+    order key (string-prefix bucketing preserves the total order);
+    per-bucket (count, token_sum) come back to the driver (<= 256 rows
+    regardless of corpus size) and prefix totals re-enter the plan as a
+    literal map; the only data-sized work is one hash-partitioned window
+    over uniform ~N/256-row buckets computing the within-bucket running
+    sum. Integer DIV (never float division) keeps the boundary exact at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from pacts_spark.datapipe.textstats import _n_tokens
+
+    h = _shuffle_key(id_col, seed)
+    hashed = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__b"),
+        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    # bounded driver state: one (count, token_sum) per bucket (<= 256 rows)
+    stats = {
+        r["__b"]: (r["cnt"], r["tok"])
+        for r in hashed.groupBy("__b")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    if not stats:  # empty input: create_map() of zero entries is typeless
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("shuffle_rank"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("shard_id"),
+        )
+    rank_off, tok_off = {}, {}
+    acc_n, acc_t = 0, 0
+    for b in sorted(stats):
+        rank_off[b], tok_off[b] = acc_n, acc_t
+        acc_n += stats[b][0]
+        acc_t += stats[b][1] or 0
+    rank_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rank_off.items()) for x in kv]
+    )
+    tok_map = F.create_map(
+        *[F.lit(x) for kv in sorted(tok_off.items()) for x in kv]
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
+    rn = F.row_number().over(w)
+    # inclusive running sum minus own tokens = exclusive prefix sum
+    cum = F.sum("n_tokens").over(w)
+    offset = tok_map[F.col("__b")] + cum - F.col("n_tokens")
+    return hashed.select(
+        F.col(id_col),
+        (rank_map[F.col("__b")] + rn - 1).cast("long").alias("shuffle_rank"),
+        F.col("n_tokens"),
+        # exact integer division: subtract the remainder first so the
+        # double division is of an exact multiple (no floor-of-double
+        # boundary risk at large offsets)
+        ((offset - F.pmod(offset, F.lit(budget_tokens))) / F.lit(budget_tokens))
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture re-weighting by stratum (domain/language):
+    emit each doc ``n_copies`` times so the output composition matches
+    the target ``weights`` WITHOUT downsampling any weighted stratum —
+    the "2 epochs of wiki, 0.7 epochs of web" data-mixing step of a
+    pretraining recipe, realized as integer repeats plus a deterministic
+    hash-sampled fractional epoch.
+
+    Per stratum s: ratio_s = w_s / count_s, rep_s = ratio_s /
+    min_t(ratio_t) (>= 1 — the least-over-weighted stratum passes
+    through exactly once; everything else is upsampled). n_copies =
+    floor(rep_s) + 1 extra copy for docs whose md5 bucket falls under
+    frac(rep_s) (the repo's half-up 10k-bucket rule, so re-runs repeat
+    the SAME docs). Strata absent from ``weights`` are dropped. Output:
+    one row per (doc, rep_ix), rep_ix in [0, n_copies).
+
+    Cross-engine determinism: rep_s is two IEEE-double divisions of
+    exact (< 2^53) inputs written identically in the DuckDB twin —
+    exactly-rounded ops on identical inputs give identical results, the
+    same precedent as rebalanced_hash_sample. Scale: stratum counts are
+    one aggregate-only groupBy; the per-stratum (base, thr) frame is a
+    handful of rows broadcast back; the data pass is projection +
+    explode of at-most-ceil(rep) elements — no shuffle of the corpus.
+    """
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted(weights.items()), f"{stratum_col} string, __w double"
+    )
+    cur = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    ratio = cur.join(w_df, stratum_col).select(
+        stratum_col, (F.col("__w") / F.col("__c")).alias("__ratio")
+    )
+    minr = ratio.agg(F.min("__ratio").alias("__minr"))
+    rep = ratio.crossJoin(F.broadcast(minr)).select(
+        stratum_col,
+        (F.col("__ratio") / F.col("__minr")).alias("__rep"),
+    )
+    plan = rep.select(
+        stratum_col,
+        F.floor("__rep").cast("long").alias("__base"),
+        F.floor((F.col("__rep") - F.floor("__rep")) * _BUCKETS + F.lit(0.5))
+        .cast("long")
+        .alias("__thr"),
+    )
+    n_copies = F.col("__base") + F.when(
+        hash_bucket(F.col(id_col)) < F.col("__thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(plan), stratum_col)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            n_copies.alias("__n"),
+        )
+        .filter(F.col("__n") >= 1)  # sequence(0, -1) is DESCENDING, not empty
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)
+            ).alias("rep_ix"),
+        )
     )

@@ -155,6 +155,64 @@ def test_global_shuffle_is_a_permutation_and_matches_total_order(spark):
     assert sorted(r.shuffle_rank for r in global_shuffle(withnull).collect()) == [0, 1, 2]
 
 
+def test_shard_assign_token_budget(spark):
+    """Shards are contiguous in shuffle order, every shard except possibly
+    the last holds >= budget tokens minus its last doc (offset rule), and
+    the assignment is an exclusive-prefix-sum DIV budget replay."""
+    from pacts_spark.datapipe.sampling import shard_assign
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 37).cast("int"))
+        ).alias("text"),
+    )
+    rows = shard_assign(df, budget_tokens=100).collect()
+    by_rank = sorted(rows, key=lambda r: r.shuffle_rank)
+    # replay the rule sequentially
+    off = 0
+    for r in by_rank:
+        assert r.shard_id == off // 100, (r, off)
+        off += r.n_tokens
+    # shards are contiguous intervals of the rank order
+    seen = [r.shard_id for r in by_rank]
+    assert seen == sorted(seen)
+    # empty input
+    empty = shard_assign(df.filter(F.lit(False)))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "shuffle_rank", "n_tokens", "shard_id",
+    ]
+
+
+def test_mixture_upsample_composition(spark):
+    """Least-over-weighted stratum passes through exactly once; repeat
+    counts follow floor(rep) + hash-fraction; unweighted strata drop."""
+    from pacts_spark.datapipe.sampling import mixture_upsample
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("source"),
+    )
+    # equal natural counts (200 each): weights 0.5/0.25 -> rep a=2, b=1; c unweighted
+    out = mixture_upsample(df, {"a": 0.5, "b": 0.25}, stratum_col="source")
+    pdf = out.toPandas()
+    assert set(pdf.source) == {"a", "b"}
+    per = pdf.groupby("source").size()
+    assert per["a"] == 400 and per["b"] == 200  # integer reps, no fractional part
+    # every (doc, rep_ix) unique; rep_ix dense from 0
+    assert len(pdf) == len(pdf.drop_duplicates(["doc_id", "rep_ix"]))
+    assert pdf.groupby("doc_id").rep_ix.min().max() == 0
+    # fractional rep: a gets 1.5x b -> ~300 a rows via hash sampling
+    frac = mixture_upsample(df, {"a": 0.375, "b": 0.25}, stratum_col="source").toPandas()
+    n_a = (frac.source == "a").sum()
+    assert (frac.source == "b").sum() == 200
+    assert 250 <= n_a <= 350  # 1.5 +- hash-sampling tolerance
+
+
 def test_exact_duplicates_mass_duplication_bounded(spark):
     """1 key x 10^6 rows (the boilerplate-document failure mode): ids must
     hold only the max_ids smallest ids while dup_count carries the true
