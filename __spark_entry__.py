@@ -493,6 +493,46 @@ FROM documents
 """
 
 
+def _q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (unigram LM filter): top-24
+    vocabulary by corpus frequency, per-doc sum of token log-probs
+    quantized to integer micro-nats (order-independent exact sums; the
+    fixture has 31 distinct tokens so vocab_size=24 exercises the OOV
+    floor ln(1/N) too)."""
+    from pacts_spark.datapipe.textstats import unigram_logprob
+
+    return unigram_logprob(_load(spark, sf_dir, "documents"), vocab_size=24)
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+         CASE WHEN trim(text) IS NULL OR length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE string_split(trim(text), ' ') END AS toks
+  FROM documents
+),
+tok AS (SELECT u.tk FROM base, UNNEST(base.toks) AS u(tk)),
+freq AS (SELECT tk AS token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+vocab AS (SELECT token, c, n FROM freq, tot ORDER BY c DESC, token LIMIT 24),
+exploded AS (SELECT doc_id, u.tk FROM base, UNNEST(base.toks) AS u(tk)),
+contrib AS (
+  SELECT e.doc_id,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS ov,
+         COALESCE(CAST(round(ln(CAST(v.c AS DOUBLE) / v.n) * 1000000) AS BIGINT),
+                  (SELECT CAST(round(ln(1.0 / n) * 1000000) AS BIGINT) FROM tot)) AS lp
+  FROM exploded e LEFT JOIN vocab v ON e.tk = v.token
+),
+sums AS (SELECT doc_id, CAST(sum(ov) AS BIGINT) AS n_oov,
+                CAST(sum(lp) AS BIGINT) AS lpsum
+         FROM contrib GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(s.lpsum, 0) AS BIGINT) AS logprob_micronats
+FROM base b LEFT JOIN sums s USING (doc_id)
+"""
+
+
 def _q_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (k=8-char grams, window w=4):
     the local/partial-overlap fingerprint set — guaranteed shared
@@ -2176,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
+        "unigram_logprob_documents": _q_unigram_logprob_documents,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "repetition_stats_documents": _q_repetition_stats_documents,
@@ -2242,6 +2283,7 @@ FROM t
         "ri_orders_customer": _RI_ORDERS_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
+        "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
         "winnow_fingerprints_documents": _WINNOW_SQL,
         "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
         "repetition_stats_documents": _REPETITION_SQL,

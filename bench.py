@@ -66,6 +66,7 @@ HEADLINE = [
     "global_shuffle_documents",
     "shard_assign_documents",
     "mixture_upsample_documents",
+    "unigram_logprob_documents",
 ]
 
 

@@ -31,6 +31,7 @@ from pacts_spark.datapipe.textstats import (
     language_id,
     text_stats,
     top_ngrams,
+    unigram_logprob,
 )
 
 __all__ = [
@@ -40,6 +41,7 @@ __all__ = [
     "mixture_upsample",
     "shard_assign",
     "top_ngrams",
+    "unigram_logprob",
     "exact_duplicate_pairs",
     "hashed_ngram_embedding",
     "exact_duplicates",

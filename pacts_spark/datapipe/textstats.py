@@ -91,6 +91,95 @@ def language_id(
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    vocab_size: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistics quality scoring — the honest unigram variant of
+    a CCNet-style LM filter: build corpus term frequencies, keep the
+    top-``vocab_size`` tokens as the vocabulary, and score each doc by
+    the sum of its tokens' log-probabilities ln(c/N) (out-of-vocabulary
+    tokens get the floor ln(1/N)). Low scores = rare/garbled text; high
+    n_oov = text unlike the corpus.
+
+    Hash-stable by construction: per-token contributions are quantized
+    to INTEGER micro-nats (round(ln(c/N)*1e6) as BIGINT), so the per-doc
+    sum is order-independent and exact — no float-summation-order or
+    cross-engine mean drift. Output per doc: n_tokens, n_oov,
+    logprob_micronats (all BIGINT; divide by n_tokens*1e6 downstream for
+    mean nats/token).
+
+    Scale design: term counting is ONE groupBy on token (map-side
+    combine absorbs the Zipf head, so 'the' never concentrates a task);
+    the vocabulary is a TakeOrdered top-K by (count desc, token) — a
+    deterministic total order; vocab + totals collapse to a ONE-ROW
+    broadcast map (50k entries ~ 1 MB), so the scoring pass is a pure
+    projection with an array fold — the corpus is never exploded or
+    shuffled on the doc side. The OOV constant is computed once behind
+    the broadcast barrier (not per element).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, " "))
+
+    tok_rows = df.select(F.explode(toks).alias("token"))
+    freq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # freq feeds BOTH the total and the top-K cut; without a barrier Spark
+    # recomputes the whole explode+groupBy per reference (two corpus
+    # scans — the multi-reference trap). The checkpoint is distinct-token
+    # sized, tiny next to the corpus.
+    freq = freq.localCheckpoint(eager=False)
+    total = freq.agg(F.sum("c").alias("__n"))
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    contrib = F.round(
+        F.log(F.col("c").cast("double") / F.col("__n")) * F.lit(1_000_000.0)
+    ).cast("long")
+    vmap_row = (
+        vocab.select(
+            F.struct(F.col("token"), contrib.alias("lp")).alias("__e"),
+            F.col("__n"),
+        )
+        .agg(
+            F.map_from_entries(F.collect_list("__e")).alias("__lp"),
+            F.max("__n").alias("__n"),
+        )
+        .select(
+            "__lp",
+            F.round(F.log(F.lit(1.0) / F.col("__n")) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("__oov"),
+        )
+    )
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("lp"), F.lit(0).cast("long").alias("ov")
+    )
+
+    def _step(acc, tk):
+        hit = F.element_at(F.col("__lp"), tk)
+        return F.struct(
+            (acc["lp"] + F.coalesce(hit, F.col("__oov"))).alias("lp"),
+            (acc["ov"] + F.when(hit.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("ov"),
+        )
+
+    res = F.aggregate(toks, zero, _step)
+    return df.crossJoin(F.broadcast(vmap_row)).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        res["ov"].alias("n_oov"),
+        res["lp"].alias("logprob_micronats"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

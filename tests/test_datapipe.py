@@ -155,6 +155,31 @@ def test_global_shuffle_is_a_permutation_and_matches_total_order(spark):
     assert sorted(r.shuffle_rank for r in global_shuffle(withnull).collect()) == [0, 1, 2]
 
 
+def test_unigram_logprob_scores(spark):
+    """Contributions are round(ln(c/N)*1e6) for vocab tokens and the
+    ln(1/N) floor for OOV; empty/null text scores 0 with 0 tokens."""
+    import math
+
+    from pacts_spark.datapipe.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b rare"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    # corpus tokens: a=4, b=2, rare=1 -> N=7; vocab_size=2 keeps {a, b}
+    out = {r.doc_id: r for r in unigram_logprob(df, vocab_size=2).collect()}
+    lp = lambda c: round(math.log(c / 7) * 1e6)
+    assert (out[1].n_tokens, out[1].n_oov) == (4, 0)
+    assert out[1].logprob_micronats == 3 * lp(4) + lp(2)
+    assert (out[2].n_tokens, out[2].n_oov) == (3, 1)
+    assert out[2].logprob_micronats == lp(4) + lp(2) + lp(1)  # OOV floor = ln(1/7)
+    for d in (3, 4):
+        assert (out[d].n_tokens, out[d].n_oov, out[d].logprob_micronats) == (0, 0, 0)
+    # vocabulary cut is deterministic: ties broken by token asc
+    out2 = {r.doc_id: r.logprob_micronats for r in unigram_logprob(df, vocab_size=2).collect()}
+    assert out2 == {k: v.logprob_micronats for k, v in out.items()}
+
+
 def test_shard_assign_token_budget(spark):
     """Shards are contiguous in shuffle order, every shard except possibly
     the last holds >= budget tokens minus its last doc (offset rule), and
