@@ -1577,6 +1577,29 @@ FROM reach GROUP BY id
 """
 
 
+def _q_leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-safe train/eval split: the eval/train decision is
+    a hash of the dedup CLUSTER id (exact + verified near-dup edges), so
+    duplicates never straddle the split; oracle replays the transitive
+    closure and the same md5 bucket rule on min-reachable-id."""
+    from pacts_spark.datapipe.clusters import leakage_safe_split
+
+    docs = _load(spark, sf_dir, "documents")
+    ex_pairs = exact_duplicate_pairs(docs)
+    near = minhash_verified_pairs(docs, k=64, threshold=0.5).select("id_a", "id_b")
+    return leakage_safe_split(docs, ex_pairs.unionByName(near), eval_rate=0.2)
+
+
+_LEAKAGE_SPLIT_SQL = _CLUSTERS_SQL.replace(
+    "SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_canonical\nFROM reach GROUP BY id",
+    """SELECT id AS doc_id, min(r) AS cluster_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(min(r) AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 2000
+            THEN 'eval' ELSE 'train' END AS split
+FROM reach GROUP BY id""",
+)
+assert "split" in _LEAKAGE_SPLIT_SQL  # the replace anchored correctly
+
+
 def _q_sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sample (per-language mixing rates) —
     retry/partitioning-independent, nested under rate increase; oracle
@@ -2240,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_documents": _q_quality_filter_documents,
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "leakage_safe_split_documents": _q_leakage_safe_split_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
@@ -2319,6 +2343,7 @@ FROM t
         "embed_then_ann": _embed_ann_sql(),
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
+        "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,

@@ -67,6 +67,7 @@ HEADLINE = [
     "shard_assign_documents",
     "mixture_upsample_documents",
     "unigram_logprob_documents",
+    "leakage_safe_split_documents",
 ]
 
 

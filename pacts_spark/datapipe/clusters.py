@@ -240,3 +240,33 @@ def dedup_clusters(
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame | None,
+    pairs: DataFrame,
+    eval_rate: float = 0.1,
+    id_col: str = "doc_id",
+    algorithm: str = "label_prop",
+) -> DataFrame:
+    """Decontamination-safe train/eval split: the split decision is made
+    per DEDUP CLUSTER, not per document, so exact and near duplicates
+    can never straddle the boundary (the classic eval-leakage failure:
+    a paraphrase of a test document sitting in train). (doc_id,
+    cluster_id, split) where split = 'eval' iff the md5 bucket of the
+    cluster id falls under ``eval_rate`` (the repo's half-up 10k-bucket
+    rule — deterministic, retry-independent, and nested: raising the
+    rate strictly grows eval).
+
+    Scale: reuses ``dedup_clusters`` (O(log n) large-star/small-star CC
+    over the pair edges); the split itself is a pure projection on the
+    cluster id — no extra shuffle, no per-cluster grouping.
+    """
+    from pacts_spark.datapipe.sampling import _threshold, hash_bucket
+
+    clusters = dedup_clusters(df, pairs, id_col=id_col, algorithm=algorithm)
+    split = F.when(
+        hash_bucket(F.col("cluster_id")) < F.lit(_threshold(eval_rate)),
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -155,6 +155,34 @@ def test_global_shuffle_is_a_permutation_and_matches_total_order(spark):
     assert sorted(r.shuffle_rank for r in global_shuffle(withnull).collect()) == [0, 1, 2]
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every member of a dup cluster gets the SAME split label; split is
+    the hash rule on the cluster id; unpaired docs split independently."""
+    from pacts_spark.datapipe.clusters import leakage_safe_split
+    from pacts_spark.datapipe.sampling import _threshold
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2 one cluster; 50-51 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, eval_rate=0.3).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 100
+    assert {by_id[i].split for i in (0, 1, 2)} in ({"train"}, {"eval"})
+    assert by_id[50].split == by_id[51].split
+    assert by_id[0].cluster_id == 0 and by_id[50].cluster_id == 50
+    # the label is exactly the hash rule on cluster_id
+    import hashlib
+
+    for r in out:
+        b = int(hashlib.md5(str(r.cluster_id).encode()).hexdigest()[:8], 16) % 10000
+        assert r.split == ("eval" if b < _threshold(0.3) else "train"), r
+    # both sides populated at rate 0.3 over ~97 clusters
+    labels = {r.split for r in out}
+    assert labels == {"train", "eval"}
+
+
 def test_unigram_logprob_scores(spark):
     """Contributions are round(ln(c/N)*1e6) for vocab tokens and the
     ln(1/N) floor for OOV; empty/null text scores 0 with 0 tokens."""
