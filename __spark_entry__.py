@@ -1577,6 +1577,32 @@ FROM reach GROUP BY id
 """
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (15-min inactivity): per-user 1-based
+    session index via lag + running sum on ONE user-keyed exchange;
+    timestamps compare as integer microseconds (the repo's exact
+    cross-engine time idiom)."""
+    from pacts_spark.datapipe.sessions import sessionize
+
+    return sessionize(_load(spark, sf_dir, "events"), gap_seconds=900)
+
+
+_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM o
+"""
+
+
 def _q_leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination-safe train/eval split: the eval/train decision is
     a hash of the dedup CLUSTER id (exact + verified near-dup edges), so
@@ -2264,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "leakage_safe_split_documents": _q_leakage_safe_split_documents,
+        "sessionize_events": _q_sessionize_events,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
@@ -2344,6 +2371,7 @@ FROM t
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,

@@ -68,6 +68,7 @@ HEADLINE = [
     "mixture_upsample_documents",
     "unigram_logprob_documents",
     "leakage_safe_split_documents",
+    "sessionize_events",
 ]
 
 

@@ -299,6 +299,10 @@ def mixture_upsample(
     ratio = cur.join(w_df, stratum_col).select(
         stratum_col, (F.col("__w") / F.col("__c")).alias("__ratio")
     )
+    # ratio feeds BOTH the min and the per-stratum plan; without a barrier
+    # the counting scan runs once per reference (multi-reference trap).
+    # The checkpoint is #strata rows.
+    ratio = ratio.localCheckpoint(eager=False)
     minr = ratio.agg(F.min("__ratio").alias("__minr"))
     rep = ratio.crossJoin(F.broadcast(minr)).select(
         stratum_col,

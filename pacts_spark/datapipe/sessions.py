@@ -1,0 +1,56 @@
+"""Sessionization: gap-based session assignment over an event stream —
+the "group raw events into conversations/visits" step that precedes
+per-session validation or transcript assembly.
+
+Scale shape: ONE shuffle, keyed by the user — the window that computes
+the lag and the running session counter rides a single hash exchange,
+and the pre-window projection ships only (event_id, user_id, ts)
+(~24 bytes/row), never the payload. Per-task work is linear in
+events-per-user; the skew bound is the whale user (the same
+characteristic every per-key sequential operator in this repo
+documents — a user's session chain is inherently a sequential
+recurrence and cannot be split without breaking cross-boundary
+sessions). Timestamps compare as integer MICROSECONDS
+(`unix_micros` / DuckDB `epoch_us`), the repo's exact cross-engine
+time idiom — no interval arithmetic, no timezone surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(event_id, user_id, session_idx): per-user 1-based session index;
+    a new session starts at the first event and whenever the gap to the
+    previous event exceeds ``gap_seconds``. Deterministic total order
+    within a user: (ts, event_id) — ties on ts cannot flip sessions
+    across runs."""
+    gap_us = int(gap_seconds) * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    # two stacked selects, same (partition, order): the lag and the
+    # running sum ride ONE exchange + sort (windows merge; a nested
+    # lag-inside-sum is not analyzable in one expression)
+    flagged = df.select(
+        F.col(id_col), F.col(user_col), F.col(ts_col), is_new.alias("__new")
+    )
+    return flagged.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )

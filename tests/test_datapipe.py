@@ -155,6 +155,27 @@ def test_global_shuffle_is_a_permutation_and_matches_total_order(spark):
     assert sorted(r.shuffle_rank for r in global_shuffle(withnull).collect()) == [0, 1, 2]
 
 
+def test_sessionize_gap_rule(spark):
+    """Known-answer gaps: session breaks strictly-greater than the gap;
+    ties on ts ordered by event_id; per-user indexes independent."""
+    from datetime import datetime
+
+    from pacts_spark.datapipe.sessions import sessionize
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(0), 7),    # u7 s1
+        (2, T(10), 7),   # gap 10 <= 10 -> s1
+        (3, T(21), 7),   # gap 11 > 10 -> s2
+        (4, T(31), 7),   # s2
+        (5, T(0), 8),    # u8 s1 (independent)
+        (6, T(0), 8),    # tie on ts -> ordered by event_id, gap 0 -> s1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=10).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
+
+
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """Every member of a dup cluster gets the SAME split label; split is
     the hash rule on the cluster id; unpaired docs split independently."""
