@@ -1603,6 +1603,40 @@ FROM o
 """
 
 
+def _q_session_transcripts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events -> session transcripts (15-min gap): one row per
+    session with the exact (ts, event_id)-ordered event-type sequence;
+    the assembly groupBy EXTENDS the session window's partition key, so
+    sessionize + assembly is ONE shuffle (plan-verified)."""
+    from pacts_spark.datapipe.sessions import session_transcripts
+
+    return session_transcripts(_load(spark, sf_dir, "events"), gap_seconds=900)
+
+
+_SESSION_TRANSCRIPTS_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       string_agg(event_type, ' ' ORDER BY us, event_id) AS transcript
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def _q_leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination-safe train/eval split: the eval/train decision is
     a hash of the dedup CLUSTER id (exact + verified near-dup edges), so
@@ -2291,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "leakage_safe_split_documents": _q_leakage_safe_split_documents,
         "sessionize_events": _q_sessionize_events,
+        "session_transcripts_events": _q_session_transcripts_events,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
@@ -2372,6 +2407,7 @@ FROM t
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "session_transcripts_events": _SESSION_TRANSCRIPTS_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,

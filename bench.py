@@ -69,6 +69,7 @@ HEADLINE = [
     "unigram_logprob_documents",
     "leakage_safe_split_documents",
     "sessionize_events",
+    "session_transcripts_events",
 ]
 
 

@@ -54,3 +54,76 @@ def sessionize(
         .cast("long")
         .alias("session_idx"),
     )
+
+
+def session_transcripts(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Assemble sessionized events into one transcript row per session:
+    (user_id, session_idx, n_events, start_us, end_us, transcript) where
+    ``transcript`` is the space-joined event-type sequence in exact
+    (ts, event_id) order — the raw-events→conversation-transcript step
+    feeding per-transcript validation.
+
+    Scale: the groupBy keys (user, session_idx) EXTEND the session
+    window's partition key (user), so the aggregation reuses the
+    window's exchange — sessionize + assembly is still ONE shuffle; the
+    in-session sequence is ordered by array_sort on (us, id) structs
+    (deterministic, no second sort pass). Session timestamps emit as
+    integer microseconds (cross-engine exact; no timestamp formatting
+    in the output path, per the repo's partition-key lesson)."""
+    gap_us = int(gap_seconds) * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = df.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col),
+        us.alias("__us"),
+        is_new.alias("__new"),
+    )
+    with_idx = flagged.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(type_col),
+        F.col("__us"),
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+
+    def _etype(x):
+        return x["t"]
+
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__us").alias("u"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("t"),
+                    )
+                )
+            ),
+            _etype,
+        ),
+        " ",
+    )
+    return with_idx.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+        seq.alias("transcript"),
+    )

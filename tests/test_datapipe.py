@@ -176,6 +176,36 @@ def test_sessionize_gap_rule(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
 
 
+def test_session_transcripts_assembly(spark):
+    """Transcript sequences follow exact (ts, event_id) order including
+    ts ties; session boundaries match sessionize; one exchange total."""
+    from datetime import datetime
+
+    from pacts_spark.datapipe.sessions import session_transcripts
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(0), 7, "a"),
+        (2, T(5), 7, "b"),
+        (3, T(30), 7, "c"),   # gap 25 > 10 -> new session
+        (4, T(30), 7, "d"),   # tie with 3: event_id orders it after
+        (5, T(1), 8, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in session_transcripts(df, gap_seconds=10).collect()
+    }
+    assert out[(7, 1)].transcript == "a b" and out[(7, 1)].n_events == 2
+    assert out[(7, 2)].transcript == "c d"
+    assert out[(7, 2)].start_us == out[(7, 2)].end_us  # tie: same microsecond
+    assert out[(8, 1)].transcript == "x"
+    plan = session_transcripts(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # one exchange (+AQE reuse artifacts)
+
+
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """Every member of a dup cluster gets the SAME split label; split is
     the hash rule on the cluster id; unpaired docs split independently."""
