@@ -1577,6 +1577,56 @@ FROM reach GROUP BY id
 """
 
 
+def _q_quality_head_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30%-by-quality head per language WITHOUT a corpus sort: the
+    round-6 score makes the (lang, score) histogram bounded, so the
+    k-th-largest threshold comes from an aggregate + tiny window;
+    threshold ties are all kept (deterministic)."""
+    from pacts_spark.datapipe.sampling import quality_head
+    from pacts_spark.datapipe.textstats import text_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = text_stats(docs, keep=("lang",)).select(
+        "doc_id", "lang", "quality_score"
+    )
+    return quality_head(scored, frac=0.3, score_col="quality_score", stratum_col="lang")
+
+
+_QUALITY_HEAD_SQL = """
+WITH q AS (
+  SELECT doc_id, lang,
+         round(least(1.0,
+           (CASE WHEN n_tok > 0
+                 THEN len(list_distinct(string_split(t, ' '))) / n_tok
+                 ELSE 0.0 END) * least(n_tok / 50.0, 1.0)), 6) AS quality_score
+  FROM (
+    SELECT doc_id, lang, trim(text) AS t,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           END AS n_tok
+    FROM documents
+  )
+),
+hist AS (SELECT lang, quality_score AS s, count(*) AS c FROM q GROUP BY 1, 2),
+cum AS (
+  SELECT lang, s,
+         sum(c) OVER (PARTITION BY lang ORDER BY s DESC
+                      ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+thr AS (
+  SELECT lang, max(s) AS thr
+  FROM cum
+  WHERE cumc >= floor(0.3 * n + 0.5) AND floor(0.3 * n + 0.5) >= 1
+  GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality_score
+FROM q JOIN thr USING (lang)
+WHERE q.quality_score >= thr.thr
+"""
+
+
 def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (15-min inactivity): per-user 1-based
     session index via lag + running sum on ONE user-keyed exchange;
@@ -2326,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_documents": _q_leakage_safe_split_documents,
         "sessionize_events": _q_sessionize_events,
         "session_transcripts_events": _q_session_transcripts_events,
+        "quality_head_documents": _q_quality_head_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
@@ -2408,6 +2459,7 @@ FROM t
         "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "session_transcripts_events": _SESSION_TRANSCRIPTS_SQL,
+        "quality_head_documents": _QUALITY_HEAD_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,

@@ -70,6 +70,7 @@ HEADLINE = [
     "leakage_safe_split_documents",
     "sessionize_events",
     "session_transcripts_events",
+    "quality_head_documents",
 ]
 
 

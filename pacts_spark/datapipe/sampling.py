@@ -334,3 +334,54 @@ def mixture_upsample(
             ).alias("rep_ix"),
         )
     )
+
+
+def quality_head(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per stratum by ``score_col`` (the
+    "best 30% by quality per language" curation step), WITHOUT a
+    corpus-wide sort: scores in this repo are round(x, 6) values, so the
+    per-stratum (score -> count) histogram is bounded (<= 1e6+1 distinct
+    values) regardless of corpus size. Pass 1 is an aggregate-only
+    groupBy(stratum, score) with map-side combine; the k-th-largest
+    threshold comes from a window over that TINY frame; pass 2 is a
+    broadcast-join filter. k = floor(frac*n + 0.5) per stratum (the
+    repo's half-up rule); ties AT the threshold are all kept (output may
+    exceed k — deterministic, no arbitrary tie cut).
+
+    The score projection is computed twice (histogram + filter) — both
+    are pure-codegen scans; recomputing beats checkpointing a
+    corpus-sized frame.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(stratum_col, score_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wd = Window.partitionBy(stratum_col).orderBy(F.col(score_col).desc())
+    cum = hist.select(
+        stratum_col,
+        score_col,
+        F.sum("__c")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.sum("__c")
+        .over(Window.partitionBy(stratum_col))
+        .alias("__n"),
+    )
+    k = F.floor(F.lit(float(frac)) * F.col("__n") + F.lit(0.5))
+    thr = (
+        cum.filter((F.col("__cum") >= k) & (k >= 1))
+        .groupBy(stratum_col)
+        .agg(F.max(score_col).alias("__thr"))
+    )
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

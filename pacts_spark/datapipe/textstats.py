@@ -35,11 +35,16 @@ def _n_tokens(text: Column) -> Column:
 
 
 def text_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc: n_chars, n_tokens, n_unique_tokens, type-token ratio,
     mean token length, quality_score ∈ [0,1] (simple lexical-diversity ×
-    length heuristic — the shape of a real quality model's plumbing)."""
+    length heuristic — the shape of a real quality model's plumbing).
+    ``keep`` passes extra input columns through (e.g. the stratum for a
+    downstream per-language head selection) without a re-join."""
     t = F.trim(F.col(text_col))
     toks = F.split(t, " ")
     n_tok = _n_tokens(F.col(text_col))
@@ -57,6 +62,7 @@ def text_stats(
         F.round(ttr, 6).alias("ttr"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(quality, 6).alias("quality_score"),
+        *[F.col(c) for c in keep],
     )
 
 

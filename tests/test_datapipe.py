@@ -176,6 +176,31 @@ def test_sessionize_gap_rule(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
 
 
+def test_quality_head_threshold_and_ties(spark):
+    """k-th-largest threshold per stratum, half-up k, ties at the
+    threshold all kept, k<1 strata empty."""
+    from pacts_spark.datapipe.sampling import quality_head
+
+    rows = [
+        # stratum a: scores 0.9, 0.8, 0.8, 0.7, 0.1 (n=5, frac .4 -> k=2)
+        (1, "a", 0.9), (2, "a", 0.8), (3, "a", 0.8), (4, "a", 0.7), (5, "a", 0.1),
+        # stratum b: n=1, frac .4 -> k = floor(0.4+0.5) = 0 -> dropped
+        (6, "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = sorted(
+        r.doc_id
+        for r in quality_head(df, 0.4, score_col="score", stratum_col="lang").collect()
+    )
+    # k=2 -> threshold = 0.8; ties kept -> docs 1,2,3; stratum b empty
+    assert out == [1, 2, 3]
+    # frac=1 keeps everything with k>=1
+    all_out = quality_head(df, 1.0, score_col="score", stratum_col="lang").count()
+    assert all_out == 6
+    # frac=0 keeps nothing
+    assert quality_head(df, 0.0, score_col="score", stratum_col="lang").count() == 0
+
+
 def test_session_transcripts_assembly(spark):
     """Transcript sequences follow exact (ts, event_id) order including
     ts ties; session boundaries match sessionize; one exchange total."""
