@@ -2112,6 +2112,41 @@ SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
 """
 
 
+def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: LSH cosine near-pairs (seeded
+    hyperplanes, exact verify) -> connected components -> keep the min-id
+    representative per semantic group; every vector gets a row. Oracle
+    replays the seeded signatures AND the transitive closure."""
+    from pacts_spark.datapipe.clusters import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=_LSH_PAIRS_THRESHOLD, dim=64,
+        n_planes=_ANN_PLANES, bands=_ANN_BANDS,
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    pairs = _lsh_pairs_sql(threshold=_LSH_PAIRS_THRESHOLD)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+e0 AS (SELECT id_a, id_b FROM pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM e0
+),
+nodes AS (SELECT vec_id AS id FROM embeddings),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src
+)
+SELECT id AS vec_id, min(r) AS rep_id, (id = min(r)) AS is_kept
+FROM reach GROUP BY id
+"""
+
+
 def _q_drift_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift→action loop closed: language_id's DETECTED labels are
     rebalanced toward the STORED baseline histogram (the declared ``lang``
@@ -2388,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nn_embeddings": _q_ann_nn_embeddings,
         "embed_then_ann": _q_embed_then_ann,
         "lsh_neardup_embeddings": _q_lsh_neardup_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
     }
 
 
@@ -2455,6 +2491,7 @@ FROM t
         "ann_nn_embeddings": _ann_sql(),
         "embed_then_ann": _embed_ann_sql(),
         "lsh_neardup_embeddings": _lsh_pairs_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,

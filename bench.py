@@ -71,6 +71,7 @@ HEADLINE = [
     "sessionize_events",
     "session_transcripts_events",
     "quality_head_documents",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -270,3 +270,49 @@ def leakage_safe_split(
         F.lit("eval"),
     ).otherwise(F.lit("train"))
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    algorithm: str = "label_prop",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540 — re-expressed on this repo's
+    primitives): embeddings whose cosine exceeds ``threshold`` are
+    semantic duplicates; connected groups keep ONE representative (the
+    min id). Output: (vec_id, rep_id, is_kept) for EVERY vector —
+    unpaired vectors are their own kept representative.
+
+    Composition of two already-capped stages: candidate pairs from
+    :func:`similarity.lsh_cosine_near_pairs` (seeded-hyperplane bands,
+    hot-bucket sub-grid cap, exact in-bucket verify — sub-quadratic; the
+    paper's k-means blocking swapped for the repo's deterministic,
+    SQL-replayable LSH blocking) and grouping from
+    :func:`dedup_clusters` (O(log n)-round CC). Recall bound = the LSH
+    band miss probability documented on lsh_cosine_near_pairs.
+    """
+    from pacts_spark.datapipe.similarity import lsh_cosine_near_pairs
+
+    pairs = lsh_cosine_near_pairs(
+        df,
+        dim=dim,
+        threshold=threshold,
+        n_planes=n_planes,
+        bands=bands,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("id_a", "id_b")
+    out = dedup_clusters(
+        df.select(F.col(id_col).alias("doc_id")), pairs, algorithm=algorithm
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("rep_id"),
+        F.col("is_canonical").alias("is_kept"),
+    )

@@ -176,6 +176,23 @@ def test_sessionize_gap_rule(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
 
 
+def test_semantic_dedup_groups_and_representatives(spark):
+    """Identical vectors group; the min id is kept; orthogonal vectors
+    stay their own kept representative."""
+    from pacts_spark.datapipe.clusters import semantic_dedup
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    rows = [(10, e1), (11, e1), (12, e1), (20, e2), (30, [0.0, 0.0, 1.0] + [0.0] * 61)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert len(out) == 5
+    assert [out[i].rep_id for i in (10, 11, 12)] == [10, 10, 10]
+    assert [out[i].is_kept for i in (10, 11, 12)] == [True, False, False]
+    for i in (20, 30):
+        assert out[i].rep_id == i and out[i].is_kept
+
+
 def test_quality_head_threshold_and_ties(spark):
     """k-th-largest threshold per stratum, half-up k, ties at the
     threshold all kept, k<1 strata empty."""
