@@ -1687,6 +1687,39 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def _q_session_windows_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window (the idiomatic
+    aggregate that transfers unchanged to Structured Streaming); the SQL
+    twin pins the native boundary rule — a gap of EXACTLY gap_seconds
+    still merges, only strictly-greater closes (probed live, see
+    test_native_session_window_boundary_rule) — end = last event + gap."""
+    from pacts_spark.datapipe.sessions import native_session_windows
+
+    return native_session_windows(_load(spark, sf_dir, "events"), gap_seconds=900)
+
+
+_SESSION_WINDOWS_NATIVE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, us,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+  FROM o
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) + 900000000 AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sidx
+"""
+
+
 def _q_leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination-safe train/eval split: the eval/train decision is
     a hash of the dedup CLUSTER id (exact + verified near-dup edges), so
@@ -2411,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_documents": _q_leakage_safe_split_documents,
         "sessionize_events": _q_sessionize_events,
         "session_transcripts_events": _q_session_transcripts_events,
+        "session_windows_native_events": _q_session_windows_native_events,
         "quality_head_documents": _q_quality_head_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
@@ -2496,6 +2530,7 @@ FROM t
         "leakage_safe_split_documents": _LEAKAGE_SPLIT_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
         "session_transcripts_events": _SESSION_TRANSCRIPTS_SQL,
+        "session_windows_native_events": _SESSION_WINDOWS_NATIVE_SQL,
         "quality_head_documents": _QUALITY_HEAD_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,

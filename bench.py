@@ -72,6 +72,7 @@ HEADLINE = [
     "session_transcripts_events",
     "quality_head_documents",
     "semantic_dedup_embeddings",
+    "session_windows_native_events",
 ]
 
 

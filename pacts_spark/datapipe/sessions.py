@@ -127,3 +127,37 @@ def session_transcripts(
         F.max("__us").alias("end_us"),
         seq.alias("transcript"),
     )
+
+
+def native_session_windows(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The same sessionization expressed with Spark's BUILT-IN
+    ``session_window`` (the idiomatic path, and the one that transfers
+    unchanged to Structured Streaming): one aggregate row per session
+    with (user_id, start_us, end_us, n_events), end = last event + gap.
+
+    Boundary semantics (probed live, pinned by
+    test_native_session_window_boundary_rule): a gap of EXACTLY
+    ``gap_seconds`` still merges; only strictly-greater closes — the
+    SAME strict-greater rule as :func:`sessionize`, so the two paths
+    agree everywhere. Scale: one user-keyed exchange; Spark merges
+    windows inside the aggregation (no lag pass)."""
+    # the repo's ts idiom: parquet NTZ timestamps cast to TIMESTAMP before
+    # any epoch conversion (unix_micros rejects NTZ)
+    sw = F.session_window(
+        F.col(ts_col).cast("timestamp"), f"{int(gap_seconds)} seconds"
+    )
+    return (
+        df.groupBy(F.col(user_col), sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            F.col("n_events"),
+        )
+    )

@@ -176,6 +176,31 @@ def test_sessionize_gap_rule(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
 
 
+def test_native_session_window_boundary_rule(spark):
+    """The built-in session_window merges at a gap of EXACTLY
+    gap_seconds and closes only on strictly-greater (probed live — the
+    [start, last+gap] hull is end-inclusive for the next event); end =
+    last event + gap. This pins the boundary the SQL twin must use
+    (same strict-greater rule as sessionize)."""
+    from datetime import datetime
+
+    from pacts_spark.datapipe.sessions import native_session_windows
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, T(0), 7), (2, T(10), 7), (3, T(21), 7)],  # gaps 10 (==), 11 (>)
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = sorted(
+        native_session_windows(df, gap_seconds=10).collect(),
+        key=lambda r: r.start_us,
+    )
+    # gap == 10 merges; gap 11 > 10 starts a new session
+    assert [r.n_events for r in out] == [2, 1]
+    assert out[0].end_us == out[0].start_us + 20_000_000  # last(10s) + gap
+    assert out[1].n_events == 1
+
+
 def test_semantic_dedup_groups_and_representatives(spark):
     """Identical vectors group; the min id is kept; orthogonal vectors
     stay their own kept representative."""
