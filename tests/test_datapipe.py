@@ -176,6 +176,46 @@ def test_sessionize_gap_rule(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1}
 
 
+def test_sessionize_whale_user_completes_linear(spark):
+    """The documented skew bound: one user owning the whole batch still
+    sessionizes (per-task work linear in events/user) and the index is
+    exact on a 50k-event chain with alternating gaps."""
+    from pacts_spark.datapipe.sessions import sessionize
+
+    n = 50_000
+    # event i at t = i*5s for even i, previous+20s for odd i (gap > 10 at
+    # every even->odd step when i%4==1 ... keep it simple: gap = 5s
+    # normally, 100s every 1000th event => 50 sessions
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.col("id") * 5 + (F.col("id") / 1000).cast("long") * 100
+        ).alias("ts"),
+        F.lit(1).alias("user_id"),
+    )
+    out = sessionize(df, gap_seconds=60)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.max("session_idx").alias("mx")
+    ).collect()[0]
+    assert agg.n == n
+    assert agg.mx == 50  # a 100s jump every 1000 events -> 50 breaks
+
+
+def test_quality_head_degenerate_histogram(spark):
+    """All rows sharing ONE score (the histogram collapses to one row per
+    stratum): frac rounds to k>=1 keeps everything (all tied at the
+    threshold); a 1-row stratum with k=0 drops."""
+    from pacts_spark.datapipe.sampling import quality_head
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a").alias("lang"),
+        F.lit(0.5).alias("score"),
+    )
+    out = quality_head(df, 0.25, score_col="score", stratum_col="lang")
+    assert out.count() == 1000  # k=250, threshold=0.5, all tied -> all kept
+
+
 def test_native_session_window_boundary_rule(spark):
     """The built-in session_window merges at a gap of EXACTLY
     gap_seconds and closes only on strictly-greater (probed live — the
