@@ -999,6 +999,41 @@ WHERE nc >= 1
 """
 
 
+def _q_token_blocks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing (GPT-style): the corpus concatenated in
+    global shuffle order and cut every 256 tokens; docs split across
+    block boundaries via pure integer arithmetic on the bounded-driver
+    global token offsets — zero padding waste, exact tiling."""
+    from pacts_spark.datapipe.sampling import token_blocks
+
+    return token_blocks(
+        _load(spark, sf_dir, "documents"), block_tokens=256, seed=42
+    )
+
+
+_TOKEN_BLOCKS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         md5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS h,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+         END AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM s
+)
+SELECT doc_id, CAST(u.b AS BIGINT) AS block_idx,
+       CAST(greatest(0, u.b * 256 - off) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, (u.b + 1) * 256 - off) AS BIGINT) AS tok_end
+FROM o, UNNEST(range(off // 256, (off + n_tokens - 1) // 256 + 1)) AS u(b)
+WHERE n_tokens >= 1
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -2429,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": _q_incremental_dedup_documents,
         "global_shuffle_documents": _q_global_shuffle_documents,
         "shard_assign_documents": _q_shard_assign_documents,
+        "token_blocks_documents": _q_token_blocks_documents,
         "mixture_upsample_documents": _q_mixture_upsample_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
@@ -2504,6 +2540,7 @@ FROM t
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "global_shuffle_documents": _GLOBAL_SHUFFLE_SQL,
         "shard_assign_documents": _SHARD_ASSIGN_SQL,
+        "token_blocks_documents": _TOKEN_BLOCKS_SQL,
         "mixture_upsample_documents": _MIXTURE_UPSAMPLE_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,

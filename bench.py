@@ -73,6 +73,7 @@ HEADLINE = [
     "quality_head_documents",
     "semantic_dedup_embeddings",
     "session_windows_native_events",
+    "token_blocks_documents",
 ]
 
 

@@ -207,6 +207,37 @@ def shard_assign(
     sum. Integer DIV (never float division) keeps the boundary exact at
     any corpus size.
     """
+    base = _global_token_offsets(df, id_col, text_col, seed)
+    if base is None:  # empty input
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("shuffle_rank"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("shard_id"),
+        )
+    return base.select(
+        F.col(id_col),
+        "shuffle_rank",
+        "n_tokens",
+        _int_div(F.col("__off"), budget_tokens).alias("shard_id"),
+    )
+
+
+def _int_div(col: Column, d: int) -> Column:
+    """Exact integer division of a non-negative BIGINT column: subtract
+    the remainder first so the double division is of an exact multiple
+    (no floor-of-double boundary risk at large values)."""
+    return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def _global_token_offsets(
+    df: DataFrame, id_col: str, text_col: str, seed: int
+) -> DataFrame | None:
+    """(id, shuffle_rank, n_tokens, __off): global shuffle rank and
+    EXCLUSIVE prefix sum of whitespace token counts in shuffle order,
+    via the bounded-driver two-phase pattern (see shard_assign
+    docstring). Returns None on empty input (create_map() of zero
+    entries is typeless)."""
     from pyspark.sql import Window
 
     from pacts_spark.datapipe.textstats import _n_tokens
@@ -225,13 +256,8 @@ def shard_assign(
         .agg(F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok"))
         .collect()
     }
-    if not stats:  # empty input: create_map() of zero entries is typeless
-        return df.select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("shuffle_rank"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("shard_id"),
-        )
+    if not stats:
+        return None
     rank_off, tok_off = {}, {}
     acc_n, acc_t = 0, 0
     for b in sorted(stats):
@@ -248,17 +274,66 @@ def shard_assign(
     rn = F.row_number().over(w)
     # inclusive running sum minus own tokens = exclusive prefix sum
     cum = F.sum("n_tokens").over(w)
-    offset = tok_map[F.col("__b")] + cum - F.col("n_tokens")
     return hashed.select(
         F.col(id_col),
         (rank_map[F.col("__b")] + rn - 1).cast("long").alias("shuffle_rank"),
         F.col("n_tokens"),
-        # exact integer division: subtract the remainder first so the
-        # double division is of an exact multiple (no floor-of-double
-        # boundary risk at large offsets)
-        ((offset - F.pmod(offset, F.lit(budget_tokens))) / F.lit(budget_tokens))
-        .cast("long")
-        .alias("shard_id"),
+        (tok_map[F.col("__b")] + cum - F.col("n_tokens")).alias("__off"),
+    )
+
+
+def token_blocks(
+    df: DataFrame,
+    block_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk packing (the GPT-style pretraining packer, the
+    complement of packing.pack_sequences which never splits a doc):
+    conceptually concatenate the whole corpus in global shuffle order and
+    cut every ``block_tokens`` tokens — docs SPLIT across block
+    boundaries, blocks have exactly ``block_tokens`` tokens (except the
+    last), zero padding waste. Output one row per (doc, covered block):
+    (doc_id, block_idx, tok_start, tok_end) with [tok_start, tok_end)
+    the doc-local token slice that lands in that block; a reader joins
+    text back by id and slices.
+
+    Pure integer arithmetic on the same bounded-driver global offsets as
+    shard_assign: a doc at exclusive offset o with L tokens covers
+    blocks o DIV B .. (o+L-1) DIV B, one explode of at most
+    ceil(L/B)+1 elements — no extra shuffle beyond the offset window's,
+    and every boundary is exact at any corpus size (integer DIV).
+    Zero-token docs occupy no block and emit no row.
+    """
+    base = _global_token_offsets(df, id_col, text_col, seed)
+    if base is None:  # empty input
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, block_idx long, tok_start long, tok_end long",
+        )
+    nonempty = base.filter(F.col("n_tokens") >= 1)
+    b_lo = _int_div(F.col("__off"), block_tokens)
+    b_hi = _int_div(F.col("__off") + F.col("n_tokens") - 1, block_tokens)
+    blocks = nonempty.select(
+        F.col(id_col),
+        F.col("__off"),
+        F.col("n_tokens"),
+        F.explode(F.sequence(b_lo, b_hi)).alias("block_idx"),
+    )
+    tok_start = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("block_idx") * block_tokens - F.col("__off"),
+    )
+    tok_end = F.least(
+        F.col("n_tokens"),
+        (F.col("block_idx") + 1) * block_tokens - F.col("__off"),
+    )
+    return blocks.select(
+        F.col(id_col),
+        F.col("block_idx"),
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
     )
 
 

@@ -366,6 +366,51 @@ def test_unigram_logprob_scores(spark):
     assert out2 == {k: v.logprob_micronats for k, v in out.items()}
 
 
+def test_token_blocks_exact_tiling(spark):
+    """Concat-then-chunk invariants: every block holds exactly B tokens
+    (except the last), fragments tile each doc exactly, doc-local slices
+    are within range, 0-token docs emit nothing."""
+    from pacts_spark.datapipe.sampling import token_blocks
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("w"), F.repeat(F.lit(" x"), (F.col("id") % 41).cast("int")))
+        ).alias("text"),
+    )
+    rows = token_blocks(df, block_tokens=64).collect()
+    # exact tiling per doc
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.tok_start < r.tok_end
+        mass[r.doc_id] += r.tok_end - r.tok_start
+    toks = {
+        r.doc_id: r.nt
+        for r in df.select(
+            "doc_id",
+            F.when(F.length(F.trim("text")) == 0, F.lit(0))
+            .otherwise(
+                F.length(F.trim("text"))
+                - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+                + 1
+            )
+            .alias("nt"),
+        ).collect()
+    }
+    assert mass == {k: v for k, v in toks.items() if v >= 1}
+    # block masses: exactly 64 except the highest block
+    bmass = defaultdict(int)
+    for r in rows:
+        bmass[r.block_idx] += r.tok_end - r.tok_start
+    last = max(bmass)
+    assert all(v == 64 for b, v in bmass.items() if b != last)
+    assert set(bmass) == set(range(last + 1))  # no gaps
+    # empty input
+    assert token_blocks(df.filter(F.lit(False))).count() == 0
+
+
 def test_shard_assign_token_budget(spark):
     """Shards are contiguous in shuffle order, every shard except possibly
     the last holds >= budget tokens minus its last doc (offset rule), and
