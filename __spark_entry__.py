@@ -1034,6 +1034,42 @@ WHERE n_tokens >= 1
 """
 
 
+def _q_duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span detection (overlapping 8-token windows;
+    global first occurrence kept): per-doc maximal duplicated intervals
+    via arg-min aggregate + hash join + sessionize-style interval union
+    on one doc-keyed exchange."""
+    from pacts_spark.datapipe.dedup import duplicate_spans
+
+    return duplicate_spans(_load(spark, sf_dir, "documents"), L=8)
+
+
+_DUPLICATE_SPANS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(trim(coalesce(text, '')), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(w[u.i:u.i+7], ' ')) AS h
+  FROM base, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+dups AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+s AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dups),
+x AS (SELECT doc_id, pos,
+             CAST(sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM s)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS tok_start,
+       CAST(max(pos) + 7 AS BIGINT) AS tok_end
+FROM x GROUP BY doc_id, sid
+"""
+
+
 def _q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
@@ -2465,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_documents": _q_global_shuffle_documents,
         "shard_assign_documents": _q_shard_assign_documents,
         "token_blocks_documents": _q_token_blocks_documents,
+        "duplicate_spans_documents": _q_duplicate_spans_documents,
         "mixture_upsample_documents": _q_mixture_upsample_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "textstats_documents": _q_textstats_documents,
@@ -2541,6 +2578,7 @@ FROM t
         "global_shuffle_documents": _GLOBAL_SHUFFLE_SQL,
         "shard_assign_documents": _SHARD_ASSIGN_SQL,
         "token_blocks_documents": _TOKEN_BLOCKS_SQL,
+        "duplicate_spans_documents": _DUPLICATE_SPANS_SQL,
         "mixture_upsample_documents": _MIXTURE_UPSAMPLE_SQL,
         "jaccard_pairs_documents": _JACCARD_SQL,
         "textstats_documents": _TEXTSTATS_SQL,

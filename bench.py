@@ -74,6 +74,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "session_windows_native_events",
     "token_blocks_documents",
+    "duplicate_spans_documents",
 ]
 
 

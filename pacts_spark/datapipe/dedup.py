@@ -601,3 +601,88 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the OVERLAPPING-window complement of
+    :func:`chunk_dedup`'s disjoint chunks): every L-token window that
+    also occurs EARLIER in the corpus (earlier = smaller (doc_id, pos),
+    the global first occurrence is kept) marks its tokens as duplicated;
+    output is the per-doc union of marked windows as maximal intervals —
+    (doc_id, tok_start, tok_end), 1-based inclusive token positions.
+    Downstream removal = drop those slices (or the doc, if mostly
+    covered).
+
+    Scale design:
+    - gram derivation is a guarded pure-Column projection (docs shorter
+      than L emit an EMPTY array — sequence(1, m-L+1) with m < L is
+      DESCENDING, the winnowing trap); the gram array materializes in
+      its own projection before posexplode.
+    - first-occurrence is the same ARG-MIN AGGREGATE as chunk_dedup
+      (groupBy(gram md5).agg(min(struct(id, pos)))): map-side combine
+      absorbs boilerplate grams repeated 10^9 times — never a window
+      over the hash.
+    - the duplicate test joins grams back to the 1-row-per-hash winners
+      (both sides keyed by the hash; AQE skew-split applies to hot
+      grams); the shuffle carries (md5, id, pos), never text.
+    - interval union is the sessionize pattern: lag + running sum over
+      (doc, pos) with break at pos > prev + L (same-length intervals:
+      merged end = last start + L - 1, so adjacency = prev + L), and
+      the final groupBy EXTENDS the window's partition key — one
+      doc-keyed exchange for flag + counter + aggregation.
+    """
+    df = ensure_scan_parallelism(df, id_col)
+    words = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tokd = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    m = F.size(w)
+    gram_arr = F.when(
+        m >= F.lit(L),
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(L - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, L), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tokd.select(F.col(id_col), F.posexplode(gram_arr).alias("__p0", "__h")).select(
+        F.col(id_col), (F.col("__p0") + 1).cast("long").alias("pos"), "__h"
+    )
+    firsts = (
+        grams.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
+        .select(
+            "__h",
+            F.col(f"__f.{id_col}").alias("__d0"),
+            F.col("__f.pos").alias("__p1"),
+        )
+    )
+    dups = (
+        grams.join(firsts, "__h")
+        .filter(
+            ~((F.col(id_col) == F.col("__d0")) & (F.col("pos") == F.col("__p1")))
+        )
+        .select(F.col(id_col), "pos")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(win)
+    is_new = F.when(
+        prev.isNull() | (F.col("pos") > prev + F.lit(L)), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = dups.select(F.col(id_col), "pos", is_new.alias("__new"))
+    spans = flagged.select(
+        F.col(id_col),
+        "pos",
+        F.sum("__new")
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__sid"),
+    )
+    return spans.groupBy(id_col, "__sid").agg(
+        F.min("pos").cast("long").alias("tok_start"),
+        (F.max("pos") + F.lit(L - 1)).cast("long").alias("tok_end"),
+    ).drop("__sid")

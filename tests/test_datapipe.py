@@ -366,6 +366,31 @@ def test_unigram_logprob_scores(spark):
     assert out2 == {k: v.logprob_micronats for k, v in out.items()}
 
 
+def test_duplicate_spans_exactsubstr(spark):
+    """Known answers: a copied 6-token region yields ONE merged span at
+    the right 1-based inclusive positions; the first occurrence is NOT
+    flagged; self-repetition within a doc is; short docs emit nothing;
+    adjacent windows merge."""
+    from pacts_spark.datapipe.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y c d e f g h z w"),      # copies doc1 tokens 3..8
+        (3, "p q r"),                     # shorter than L
+        (4, "m m m m m m m m"),           # self-repetition: grams 2..5 dup gram 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.tok_start, r.tok_end) for r in duplicate_spans(df, L=4).collect()
+    )
+    # doc2: dup grams at pos 3,4,5 -> union [3, 5+3] = [3, 8]
+    # doc4: grams 2..5 duplicate gram 1 -> union [2, 8]
+    assert out == [(2, 3, 8), (4, 2, 8)]
+    # no dups at all
+    solo = spark.createDataFrame([(1, "a b c d"), (2, "e f g h")], "doc_id long, text string")
+    assert duplicate_spans(solo, L=4).count() == 0
+
+
 def test_token_blocks_exact_tiling(spark):
     """Concat-then-chunk invariants: every block holds exactly B tokens
     (except the last), fragments tile each doc exactly, doc-local slices
