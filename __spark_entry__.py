@@ -493,6 +493,53 @@ FROM documents
 """
 
 
+def _q_dsir_logratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores toward the lang='en' target: per-doc
+    sum of Laplace-smoothed unigram log-ratios ln(p_en/p_corpus) in
+    integer micro-nats; both models from ONE explode (count +
+    conditional count). Top-24 vocabulary exercises the smoothed-OOV
+    constant too."""
+    from pacts_spark.datapipe.textstats import dsir_logratio
+
+    return dsir_logratio(
+        _load(spark, sf_dir, "documents"), F.col("lang") == "en", vocab_size=24
+    )
+
+
+_DSIR_SQL = """
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t, trim(text) AS t,
+         CASE WHEN trim(text) IS NULL OR length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE string_split(trim(text), ' ') END AS toks
+  FROM documents
+),
+tok AS (SELECT u.tk, b.is_t FROM base b, UNNEST(b.toks) AS u(tk)),
+freq AS (SELECT tk AS token, CAST(count(*) AS BIGINT) AS cs,
+                CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         FROM tok GROUP BY tk),
+tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS v FROM freq),
+vocab AS (SELECT token, cs, ct, ns, nt, v FROM freq, tot
+          ORDER BY (cs + ct) DESC, token LIMIT 24),
+lrs AS (
+  SELECT token,
+         CAST(round(ln( (CAST(ct + 1 AS DOUBLE) / (nt + v))
+                      / (CAST(cs + 1 AS DOUBLE) / (ns + v)) ) * 1000000) AS BIGINT) AS lr
+  FROM vocab
+),
+oov AS (SELECT CAST(round(ln(CAST(ns + v AS DOUBLE) / (nt + v)) * 1000000) AS BIGINT) AS lr FROM tot),
+exploded AS (SELECT doc_id, u.tk FROM base, UNNEST(base.toks) AS u(tk)),
+contrib AS (
+  SELECT e.doc_id, COALESCE(l.lr, (SELECT lr FROM oov)) AS lr
+  FROM exploded e LEFT JOIN lrs l ON e.tk = l.token
+),
+sums AS (SELECT doc_id, CAST(sum(lr) AS BIGINT) AS s FROM contrib GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS dsir_micronats
+FROM base b LEFT JOIN sums s USING (doc_id)
+"""
+
+
 def _q_unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality scoring (unigram LM filter): top-24
     vocabulary by corpus frequency, per-doc sum of token log-probs
@@ -2489,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "unigram_logprob_documents": _q_unigram_logprob_documents,
+        "dsir_logratio_documents": _q_dsir_logratio_documents,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "repetition_stats_documents": _q_repetition_stats_documents,
@@ -2564,6 +2612,7 @@ FROM t
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
+        "dsir_logratio_documents": _DSIR_SQL,
         "winnow_fingerprints_documents": _WINNOW_SQL,
         "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
         "repetition_stats_documents": _REPETITION_SQL,

@@ -75,6 +75,7 @@ HEADLINE = [
     "session_windows_native_events",
     "token_blocks_documents",
     "duplicate_spans_documents",
+    "dsir_logratio_documents",
 ]
 
 

@@ -186,6 +186,105 @@ def unigram_logprob(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_pred: Column,
+    vocab_size: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169 —
+    re-expressed on this repo's unigram machinery): score every doc by
+    sum over its tokens of ln(p_target(tok) / p_corpus(tok)), where the
+    two unigram models are Laplace-smoothed ((c+1)/(N+V)) counts over
+    the docs matching ``target_pred`` vs the WHOLE corpus. High scores =
+    "looks like the target domain"; feed the scores to quality_head /
+    hash-threshold resampling to select pretraining data toward a
+    target distribution.
+
+    Same hash-stability contract as unigram_logprob: per-token
+    contributions quantize to INTEGER micro-nats, sums are
+    order-independent and exact cross-engine. Output: (doc_id,
+    n_tokens, dsir_micronats).
+
+    Scale design: ONE explode + ONE groupBy(token) computes BOTH models
+    (c_corpus = count, c_target = count_if(pred)) — the target model
+    costs no second corpus pass; the checkpointed freq table feeds the
+    scalar totals (N_t, N_s, V) and the top-``vocab_size`` cut (by
+    combined count, deterministic tie-break); vocabulary + constants
+    collapse to a ONE-ROW broadcast map and the scoring pass is a pure
+    array fold (tokens outside the vocabulary get the smoothed
+    zero-count log-ratio ln((N_s+V)/(N_t+V)) — computed once behind the
+    broadcast barrier).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, " "))
+
+    tok_rows = df.select(
+        F.explode(toks).alias("token"), target_pred.alias("__is_t")
+    )
+    freq = tok_rows.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    # feeds totals AND the top-K cut — checkpoint or the explode runs twice
+    freq = freq.localCheckpoint(eager=False)
+    totals = freq.agg(
+        F.sum("cs").alias("__ns"),
+        F.sum("ct").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    vocab = (
+        freq.crossJoin(F.broadcast(totals))
+        .orderBy((F.col("cs") + F.col("ct")).desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    pt = (F.col("ct") + F.lit(1)).cast("double") / (F.col("__nt") + F.col("__v"))
+    ps = (F.col("cs") + F.lit(1)).cast("double") / (F.col("__ns") + F.col("__v"))
+    contrib = F.round(F.log(pt / ps) * F.lit(1_000_000.0)).cast("long")
+    vmap_row = (
+        vocab.select(
+            F.struct(F.col("token"), contrib.alias("lr")).alias("__e"),
+            F.col("__ns"),
+            F.col("__nt"),
+            F.col("__v"),
+        )
+        .agg(
+            F.map_from_entries(F.collect_list("__e")).alias("__lr"),
+            F.max("__ns").alias("__ns"),
+            F.max("__nt").alias("__nt"),
+            F.max("__v").alias("__v"),
+        )
+        .select(
+            "__lr",
+            F.round(
+                F.log(
+                    (F.col("__ns") + F.col("__v")).cast("double")
+                    / (F.col("__nt") + F.col("__v"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("__oov"),
+        )
+    )
+
+    def _step(acc, tk):
+        return acc + F.coalesce(
+            F.element_at(F.col("__lr"), tk), F.col("__oov")
+        )
+
+    score = F.aggregate(toks, F.lit(0).cast("long"), _step)
+    return df.crossJoin(F.broadcast(vmap_row)).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("dsir_micronats"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -366,6 +366,29 @@ def test_unigram_logprob_scores(spark):
     assert out2 == {k: v.logprob_micronats for k, v in out.items()}
 
 
+def test_dsir_logratio_directionality(spark):
+    """Controlled corpora: tokens exclusive to the target score positive
+    per token, tokens absent from the target score negative, and the
+    exact micro-nat values follow the Laplace formula."""
+    import math
+
+    from pacts_spark.datapipe.textstats import dsir_logratio
+
+    # 2 target docs of 'aa' (4 tokens), 2 others of 'bb' (4 tokens)
+    rows = [
+        (1, "aa aa", "t"), (2, "aa aa", "t"),
+        (3, "bb bb", "o"), (4, "bb bb", "o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.dsir_micronats for r in
+           dsir_logratio(df, F.col("lang") == "t", vocab_size=10).collect()}
+    # cs(aa)=4, ct(aa)=4; cs(bb)=4, ct(bb)=0; ns=8, nt=4, v=2
+    lr = lambda ct, cs: round(math.log(((ct + 1) / (4 + 2)) / ((cs + 1) / (8 + 2))) * 1e6)
+    assert out[1] == 2 * lr(4, 4) and out[1] > 0      # target-exclusive: positive
+    assert out[3] == 2 * lr(0, 4) and out[3] < 0      # target-absent: negative
+    assert out[1] == out[2] and out[3] == out[4]
+
+
 def test_duplicate_spans_exactsubstr(spark):
     """Known answers: a copied 6-token region yields ONE merged span at
     the right 1-based inclusive positions; the first occurrence is NOT
