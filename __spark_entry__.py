@@ -2116,6 +2116,127 @@ FROM documents
 """
 
 
+def _q_pretraining_tail_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-side analogue of curation_pipeline, composed end to end
+    in one query: per-language quality HEAD (top 50% by score, bounded
+    histogram threshold) -> per-source mixture UPSAMPLING (integer +
+    hash-fractional epochs) -> instance ids -> global shuffle order ->
+    concat-then-chunk TOKEN BLOCKS. Output one row per (doc copy,
+    covered block): (doc_id, rep_ix, block_idx, tok_start, tok_end).
+    The oracle replays all four stages in ONE SQL. Instance id =
+    doc_id*8 + rep_ix (epoch factors here are < 8)."""
+    from pacts_spark.datapipe.sampling import (
+        mixture_upsample,
+        quality_head,
+        token_blocks,
+    )
+    from pacts_spark.datapipe.textstats import text_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = text_stats(docs, keep=("lang", "source")).select(
+        "doc_id", "lang", "source", "quality_score"
+    )
+    head = quality_head(
+        scored, frac=0.5, score_col="quality_score", stratum_col="lang"
+    )
+    ups = mixture_upsample(
+        head,
+        {"src0": 0.4, "src1": 0.25, "src2": 0.2, "src3": 0.15},
+        stratum_col="source",
+    )
+    inst = (
+        ups.select(
+            (F.col("doc_id") * 8 + F.col("rep_ix")).alias("iid"), "doc_id"
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("iid", "text")
+    )
+    blocks = token_blocks(inst, block_tokens=256, id_col="iid")
+    return blocks.select(
+        ((F.col("iid") - F.pmod(F.col("iid"), F.lit(8))) / F.lit(8))
+        .cast("long")
+        .alias("doc_id"),
+        F.pmod(F.col("iid"), F.lit(8)).cast("long").alias("rep_ix"),
+        "block_idx",
+        "tok_start",
+        "tok_end",
+    )
+
+
+_PRETRAINING_TAIL_SQL = """
+WITH q AS (
+  SELECT doc_id, lang, source,
+         round(least(1.0,
+           (CASE WHEN n_tok > 0
+                 THEN len(list_distinct(string_split(t, ' '))) / n_tok
+                 ELSE 0.0 END) * least(n_tok / 50.0, 1.0)), 6) AS quality_score
+  FROM (
+    SELECT doc_id, lang, source, trim(text) AS t,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+           END AS n_tok
+    FROM documents
+  )
+),
+hist AS (SELECT lang, quality_score AS s, count(*) AS c FROM q GROUP BY 1, 2),
+cum AS (
+  SELECT lang, s,
+         sum(c) OVER (PARTITION BY lang ORDER BY s DESC
+                      ROWS UNBOUNDED PRECEDING) AS cumc,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+thr AS (
+  SELECT lang, max(s) AS thr FROM cum
+  WHERE cumc >= floor(0.5 * n + 0.5) AND floor(0.5 * n + 0.5) >= 1
+  GROUP BY lang
+),
+head AS (
+  SELECT q.doc_id, q.source FROM q JOIN thr USING (lang)
+  WHERE q.quality_score >= thr.thr
+),
+cur AS (SELECT source, count(*) AS c FROM head GROUP BY source),
+w(source, wt) AS (VALUES ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+                         ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.15 AS DOUBLE))),
+r AS (SELECT cur.source, wt / c AS ratio FROM cur JOIN w USING (source)),
+m AS (SELECT min(ratio) AS minr FROM r),
+rep AS (SELECT source, ratio / minr AS rep FROM r, m),
+plan AS (SELECT source, CAST(floor(rep) AS BIGINT) AS base,
+                CAST(floor((rep - floor(rep)) * 10000 + 0.5) AS BIGINT) AS thr2
+         FROM rep),
+nc AS (SELECT h.doc_id, h.source,
+              base + CASE WHEN CAST('0x' || substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr2
+                          THEN 1 ELSE 0 END AS n_copies
+       FROM head h JOIN plan USING (source)),
+inst AS (
+  SELECT doc_id * 8 + u.x AS iid, doc_id
+  FROM nc, UNNEST(range(nc.n_copies)) AS u(x)
+  WHERE n_copies >= 1
+),
+tk AS (
+  SELECT i.iid,
+         md5('42:' || COALESCE(CAST(i.iid AS VARCHAR), '')) AS h,
+         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+         END AS BIGINT) AS n_tokens
+  FROM inst i JOIN documents d ON i.doc_id = d.doc_id
+),
+o AS (
+  SELECT iid, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY h, iid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM tk
+)
+SELECT CAST(iid // 8 AS BIGINT) AS doc_id,
+       CAST(iid % 8 AS BIGINT) AS rep_ix,
+       CAST(u.b AS BIGINT) AS block_idx,
+       CAST(greatest(0, u.b * 256 - off) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, (u.b + 1) * 256 - off) AS BIGINT) AS tok_end
+FROM o, UNNEST(range(off // 256, (off + n_tokens - 1) // 256 + 1)) AS u(b)
+WHERE n_tokens >= 1
+"""
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data curation — the composed flow an LLM-data
     user actually runs, as ONE oracled query: quality filter (score >=
@@ -2570,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
         "curation_pipeline": _q_curation_pipeline,
+        "pretraining_tail_pipeline": _q_pretraining_tail_pipeline,
         "windowed_verdicts": _q_windowed_verdicts,
         "conversation_state_finals": _q_conversation_state_finals,
         # sketch queries (candidate-then-verify, exact-twin oracles)
@@ -2659,6 +2781,7 @@ FROM t
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
         "curation_pipeline": _CURATION_SQL,
+        "pretraining_tail_pipeline": _PRETRAINING_TAIL_SQL,
         "windowed_verdicts": _WINDOWED_SQL,
         "conversation_state_finals": _CONV_STATE_FINALS_SQL,
     }

@@ -76,6 +76,7 @@ HEADLINE = [
     "token_blocks_documents",
     "duplicate_spans_documents",
     "dsir_logratio_documents",
+    "pretraining_tail_pipeline",
 ]
 
 

@@ -366,6 +366,40 @@ def test_unigram_logprob_scores(spark):
     assert out2 == {k: v.logprob_micronats for k, v in out.items()}
 
 
+def test_pretraining_tail_pipeline_invariants(spark, tmp_path):
+    """The composed tail (quality head -> mixture -> shuffle -> blocks)
+    tiles exactly: each emitted (doc, rep) copy's fragments sum to the
+    doc's token count, block indices are gap-free, and only weighted
+    sources survive."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["pretraining_tail_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    docs = {
+        r.doc_id: (r.nt, r.source)
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS nt",
+            "source",
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    for r in out:
+        mass[(r.doc_id, r.rep_ix)] += r.tok_end - r.tok_start
+        assert docs[r.doc_id][1] in {"src0", "src1", "src2", "src3"}
+    for (d, _), m in mass.items():
+        assert m == docs[d][0], (d, m, docs[d][0])
+    blocks = {r.block_idx for r in out}
+    assert blocks == set(range(max(blocks) + 1))
+
+
 def test_dsir_logratio_directionality(spark):
     """Controlled corpora: tokens exclusive to the target score positive
     per token, tokens absent from the target score negative, and the
