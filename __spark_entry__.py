@@ -2632,6 +2632,160 @@ FROM t GROUP BY conv_id
 """
 
 
+def _q_asof_last_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (datapipe/joins.asof_join): for every non-error event,
+    the same user's latest error at-or-before it — union + tag + ONE
+    user-keyed window carrying last(ref, ignorenulls), never a
+    BroadcastNestedLoopJoin. Boundary rules pinned: exact ts tie
+    matches (refs sort first); highest ref id wins a ref/ref ts tie."""
+    from pacts_spark.datapipe.joins import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") != "error")
+    refs = ev.filter(F.col("event_type") == "error")
+    return asof_join(points, refs).select(
+        "event_id",
+        "user_id",
+        F.col("ref_id").alias("last_error_id"),
+        F.col("gap_us").alias("us_since_error"),
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS us, 0 AS src,
+         event_id AS rid, CAST(NULL AS BIGINT) AS pid
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1, NULL, event_id
+  FROM events WHERE event_type <> 'error'
+),
+w AS (
+  SELECT user_id, us, src, pid,
+         last_value(rid IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY us, src, coalesce(rid, pid)
+            ROWS UNBOUNDED PRECEDING) AS last_rid,
+         last_value(CASE WHEN src = 0 THEN us END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY us, src, coalesce(rid, pid)
+            ROWS UNBOUNDED PRECEDING) AS last_rus
+  FROM u
+)
+SELECT pid AS event_id, user_id, last_rid AS last_error_id,
+       CAST(us - last_rus AS BIGINT) AS us_since_error
+FROM w WHERE src = 1
+"""
+
+
+def _q_incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE join (datapipe/joins.interval_join):
+    ±120 s incident windows around high-value purchases, errors counted
+    into every containing window (inclusive ends) via the bucketed
+    equi-join — never a nested-loop range join; zero-hit incidents kept
+    with 0 counts."""
+    from pacts_spark.datapipe.joins import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    half = 120_000_000
+    ivls = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= F.lit(150.0))
+    ).select(
+        F.col("event_id").alias("ivl_id"),
+        (us - F.lit(half)).cast("long").alias("start_us"),
+        (us + F.lit(half)).cast("long").alias("end_us"),
+    )
+    pts = ev.filter(F.col("event_type") == "error").select(
+        "event_id", us.cast("long").alias("us"), "user_id"
+    )
+    pairs = interval_join(
+        pts, ivls, bucket_us=2 * half, point_keep=("user_id",)
+    )
+    agg = pairs.groupBy("ivl_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        ivls.select("ivl_id")
+        .join(agg, "ivl_id", "left")
+        .select(
+            F.col("ivl_id").alias("incident_id"),
+            F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        )
+    )
+
+
+_INCIDENT_SQL = """
+WITH i AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) - 120000000 AS s, epoch_us(ts) + 120000000 AS e
+  FROM events
+  WHERE event_type = 'purchase' AND value >= CAST(150 AS DOUBLE)
+),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_errors,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+FROM i LEFT JOIN p ON p.us >= i.s AND p.us <= i.e
+GROUP BY i.incident_id
+"""
+
+
+def _q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade
+    (datapipe/rollup.time_rollup): minute/hour/day rollups where each
+    coarser level re-aggregates the previous level's partials — the raw
+    table is scanned once and only the minute level shuffles corpus-
+    sized data. Measures are integer cents (order-independent sums)."""
+    from pacts_spark.datapipe.rollup import time_rollup
+
+    return time_rollup(_load(spark, sf_dir, "events"))
+
+
+_ROLLUP_SQL = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * CAST(100 AS DOUBLE)) AS BIGINT) AS c
+  FROM events
+)
+SELECT 'minute' AS resolution, event_type, us - us % 60000000 AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS cents_sum,
+       min(c) AS cents_min, max(c) AS cents_max
+FROM b GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', event_type, us - us % 3600000000,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT), min(c), max(c)
+FROM b GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type, us - us % 86400000000,
+       CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT), min(c), max(c)
+FROM b GROUP BY 2, 3
+"""
+
+
+_BM25_TERMS = ("vector", "hash", "stream", "window")
+
+
+def _q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 (datapipe/ranking.bm25_topk): literal query
+    terms → per-doc tf via array filters (no token explode/shuffle),
+    one-row corpus-stats broadcast, integer micro-unit contributions,
+    TakeOrdered cut on the pinned (score desc, doc_id) total order."""
+    from pacts_spark.datapipe.ranking import bm25_topk
+
+    return bm25_topk(_load(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
+
+
+def _bm25_sql() -> str:
+    from pacts_spark.datapipe.ranking import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_TERMS, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (reference semantics)
@@ -2687,6 +2841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "session_transcripts_events": _q_session_transcripts_events,
         "session_windows_native_events": _q_session_windows_native_events,
+        "asof_last_error_events": _q_asof_last_error_events,
+        "incident_window_counts": _q_incident_window_counts,
+        "time_rollup_events": _q_time_rollup_events,
+        "bm25_topk_documents": _q_bm25_topk_documents,
         "quality_head_documents": _q_quality_head_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
@@ -2777,6 +2935,10 @@ FROM t
         "sessionize_events": _SESSIONIZE_SQL,
         "session_transcripts_events": _SESSION_TRANSCRIPTS_SQL,
         "session_windows_native_events": _SESSION_WINDOWS_NATIVE_SQL,
+        "asof_last_error_events": _ASOF_SQL,
+        "incident_window_counts": _INCIDENT_SQL,
+        "time_rollup_events": _ROLLUP_SQL,
+        "bm25_topk_documents": _bm25_sql(),
         "quality_head_documents": _QUALITY_HEAD_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,
