@@ -77,6 +77,10 @@ HEADLINE = [
     "duplicate_spans_documents",
     "dsir_logratio_documents",
     "pretraining_tail_pipeline",
+    "asof_last_error_events",
+    "incident_window_counts",
+    "time_rollup_events",
+    "bm25_topk_documents",
 ]
 
 
