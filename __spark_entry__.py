@@ -2767,6 +2767,23 @@ FROM b GROUP BY 2, 3
 """
 
 
+def _q_kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (datapipe/clusters.kmeans_assign):
+    fixed 2 rounds in integer micro-unit space — integer squared
+    distances, argmin tie-break on cluster index, round-half-away
+    centroid means — hash-ranked seeds; the cluster-balanced-curation
+    primitive (SemDeDup cells / per-cluster sampling)."""
+    from pacts_spark.datapipe.clusters import kmeans_assign
+
+    return kmeans_assign(_load(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _kmeans_sql() -> str:
+    from pacts_spark.datapipe.clusters import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=2, d=64)
+
+
 _BM25_TERMS = ("vector", "hash", "stream", "window")
 
 
@@ -2845,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_window_counts": _q_incident_window_counts,
         "time_rollup_events": _q_time_rollup_events,
         "bm25_topk_documents": _q_bm25_topk_documents,
+        "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         "quality_head_documents": _q_quality_head_documents,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "drift_rebalanced_sample": _q_drift_rebalanced_sample,
@@ -2939,6 +2957,7 @@ FROM t
         "incident_window_counts": _INCIDENT_SQL,
         "time_rollup_events": _ROLLUP_SQL,
         "bm25_topk_documents": _bm25_sql(),
+        "kmeans_clusters_embeddings": _kmeans_sql(),
         "quality_head_documents": _QUALITY_HEAD_SQL,
         "sample_documents_stratified": _SAMPLE_SQL,
         "drift_rebalanced_sample": _DRIFT_REBALANCE_SQL,

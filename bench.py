@@ -81,6 +81,7 @@ HEADLINE = [
     "incident_window_counts",
     "time_rollup_events",
     "bm25_topk_documents",
+    "kmeans_clusters_embeddings",
 ]
 
 

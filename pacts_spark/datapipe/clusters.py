@@ -324,3 +324,181 @@ def semantic_dedup(
         F.col("cluster_id").alias("rep_id"),
         F.col("is_canonical").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means (cluster-balanced curation / SemDeDup-style cells)
+
+
+def _round_half_away(v: float) -> int:
+    """Round half away from zero on an IEEE double — the shared
+    semantics of Spark ``F.round`` and DuckDB ``round`` (pinned by
+    test_kmeans_round_half_away_matches_duckdb), replicated here because
+    the centroid means are computed driver-side between iterations."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def kmeans_assign(
+    df,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd k-means over embeddings, run for a FIXED
+    ``iters`` rounds in integer micro-unit space: vectors quantize to
+    BIGINT micros (round(x*1e6) — exact cross-engine), squared L2
+    distances are pure-integer sums (no float-order drift anywhere),
+    assignment argmin tie-breaks on the lower cluster index, and the
+    centroid update is the per-dimension integer-micro mean
+    (round-half-away of an exact double quotient). Seeds are the ``k``
+    hash-ranked rows (ORDER BY md5(id), id — the corpus-seed idiom
+    ivf_quantized_topk uses). Returns (id, cluster BIGINT), cluster =
+    0-based seed index.
+
+    Scale shape: per iteration ONE per-dim aggregate (posexplode →
+    groupBy(cluster, dim) with map-side combine; shuffle carries
+    k·d partial rows per task, never vectors) plus a k·d-int driver
+    collect for the next round's literal centroids — bounded driver
+    state, the repo's bounded-driver pattern. The assignment pass is a
+    pure projection against literal centroids (k·d literals, no join,
+    no shuffle). Empty clusters keep their previous centroid (the SQL
+    twin's LEFT JOIN + coalesce rule).
+    """
+
+    def _q(x):
+        return F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+
+    pts = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), _q).alias("__q")
+    )
+    # referenced by every iteration's action + the final assignment:
+    # materialize once (multi-reference recompute trap)
+    pts = pts.localCheckpoint(eager=False)
+    seeds = (
+        pts.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(k))
+        .collect()
+    )
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long"
+        )
+    cents: list[list[int]] = [list(r["__q"]) for r in seeds]
+
+    def _assign(frame):
+        dists = []
+        for ci, cent in enumerate(cents):
+            lit_c = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+            d2 = F.aggregate(
+                F.zip_with(F.col("__q"), lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d2.alias("d"), F.lit(ci).cast("long").alias("c")))
+        return frame.select(
+            F.col(id_col),
+            F.col("__q"),
+            F.array_min(F.array(*dists)).getField("c").alias("cluster"),
+        )
+
+    for _ in range(int(iters)):
+        upd = (
+            _assign(pts)
+            .select("cluster", F.posexplode("__q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                _round_half_away(float(r["s"]) / float(r["n"]))
+            )
+        cents = [
+            [by_cluster[ci][p] for p in range(len(cents[ci]))]
+            if ci in by_cluster
+            else cents[ci]
+            for ci in range(len(cents))
+        ]
+
+    return _assign(pts).select(F.col(id_col), F.col("cluster"))
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    d: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign`, generated from the same
+    parameters with the iterations UNROLLED as CTE pairs (assign_i,
+    centroids_i). Distances use the integer identity
+    |q|² − 2·q·c + |c|² via list_dot_product (all values < 2⁵³, so the
+    double intermediates are exact); the centroid mean replays
+    round(sum::DOUBLE / n) — the same half-away rounding the driver-side
+    helper applies."""
+    dist = (
+        "CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.c)"
+        " + list_dot_product(c.c, c.c) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH q AS (
+  SELECT {id_col},
+         list_transform({vec_col},
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM {table}
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col})) - 1
+           AS cluster,
+         q AS c
+  FROM q
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+  LIMIT {int(k)}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT {id_col}, q, cluster FROM (
+    SELECT p.{id_col}, p.q, c.cluster,
+           row_number() OVER (PARTITION BY p.{id_col}
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q p CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cluster, r.i,
+         CAST(round(CAST(sum(a.q[CAST(r.i AS INT)]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM a{i} a CROSS JOIN range(1, {int(d) + 1}) r(i)
+  GROUP BY a.cluster, r.i
+),
+c{i} AS (
+  SELECT p.cluster, coalesce(u.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (SELECT cluster, list(v ORDER BY i) AS c FROM u{i} GROUP BY cluster) u
+    USING (cluster)
+)"""
+        )
+        prev = f"c{i}"
+    # the FINAL assignment runs against the last centroids
+    parts.append(
+        f""",
+af AS (
+  SELECT {id_col}, cluster FROM (
+    SELECT p.{id_col}, c.cluster,
+           row_number() OVER (PARTITION BY p.{id_col}
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q p CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)
+SELECT {id_col}, CAST(cluster AS BIGINT) AS cluster FROM af"""
+    )
+    return "".join(parts)
