@@ -2803,6 +2803,59 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=50)
 
 
+def _q_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-contract check (checks/sequence.py): turn-index gaps,
+    running-max timestamp regressions and user/assistant role stutters
+    per conversation — three rules in ONE window projection on ONE
+    conv-keyed exchange; intra-conversation order pinned to the full
+    column tuple with NULLS LAST (cross-engine tie safety)."""
+    from pacts_spark.checks import sequence_violations
+
+    return sequence_violations(_transcripts(spark, sf_dir))
+
+
+_SEQUENCE_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+seq AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(turn_idx) OVER w AS prev_idx,
+         lag(role) OVER w AS prev_role,
+         max(ts) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx ASC, ts ASC NULLS LAST,
+                                role ASC NULLS LAST, text ASC NULLS LAST,
+                                tool ASC NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS run_max_ts
+  FROM t WHERE turn_idx IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id
+               ORDER BY turn_idx ASC, ts ASC NULLS LAST,
+                        role ASC NULLS LAST, text ASC NULLS LAST,
+                        tool ASC NULLS LAST)
+),
+v AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN prev_idx IS NOT NULL AND turn_idx > prev_idx + 1 THEN
+      CASE WHEN turn_idx = prev_idx + 2
+           THEN 'Missing turn index ' || CAST(prev_idx + 1 AS VARCHAR)
+           ELSE 'Missing turn indexes ' || CAST(prev_idx + 1 AS VARCHAR)
+                || '..' || CAST(turn_idx - 1 AS VARCHAR) END END AS v_gap,
+    CASE WHEN run_max_ts IS NOT NULL AND ts IS NOT NULL AND ts < run_max_ts
+         THEN 'Timestamp regression at turn ' || CAST(turn_idx AS VARCHAR)
+         END AS v_reg,
+    CASE WHEN prev_role = role AND role IN ('user', 'assistant')
+         THEN 'Role ''' || role || ''' repeated at turn '
+              || CAST(turn_idx AS VARCHAR) END AS v_rep
+  FROM seq
+)
+SELECT conv_id, turn_idx, 'sequence' AS check_name, v_gap AS violation
+FROM v WHERE v_gap IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'sequence', v_reg FROM v WHERE v_reg IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'sequence', v_rep FROM v WHERE v_rep IS NOT NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # validation core (reference semantics)
@@ -2824,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_quantiles": _q_gap_quantiles,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "ri_orders_customer": _q_ri_orders_customer,
+        "sequence_violations_transcripts": _q_sequence_violations,
         # training-data pipeline
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -2907,6 +2961,7 @@ FROM t
         "gap_quantiles": _GAPS_SQL,
         "uniqueness_lineitem": _UNIQ_LINEITEM_SQL,
         "ri_orders_customer": _RI_ORDERS_SQL,
+        "sequence_violations_transcripts": _SEQUENCE_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,

@@ -15,6 +15,7 @@ from pacts_spark.checks.timegaps import (
     gap_quantiles,
     gap_quantiles_discrete,
 )
+from pacts_spark.checks.sequence import sequence_violations
 
 __all__ = [
     "column_stats",
@@ -26,4 +27,5 @@ __all__ = [
     "ts_gaps",
     "gap_quantiles",
     "gap_quantiles_discrete",
+    "sequence_violations",
 ]

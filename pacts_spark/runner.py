@@ -75,6 +75,7 @@ class ValidationRun:
         baseline_role_hist: DataFrame | None = None,
         persist_input: bool = False,
         pending_filtered: bool = False,
+        sequence_checks: bool = False,
     ) -> RunResult:
         part = day_part()
 
@@ -130,6 +131,20 @@ class ValidationRun:
         )
 
         viol_parts = [row_viol, uniq]
+        if sequence_checks:
+            # opt-in (default off keeps existing outputs byte-stable):
+            # gap / ts-regression / role-stutter rows from ONE conv-keyed
+            # window exchange (checks/sequence.py)
+            from pacts_spark.checks.sequence import sequence_violations
+
+            viol_parts.append(
+                sequence_violations(
+                    transcripts.withColumn("part", part), passthrough=("part",)
+                ).select(
+                    "conv_id", "turn_idx", "part",
+                    F.col("check_name").alias("check"), "violation",
+                )
+            )
         if conversations is not None:
             viol_parts.append(
                 ri_violations(transcripts, conversations, "conv_id").select(

@@ -256,3 +256,57 @@ def test_duplicate_keys_hashed_equals_salted(spark):
     }
     assert a == b and len(a) > 0
     assert a[("conv-7", 7)] >= 5_000
+
+
+def test_sequence_violations_known_answers(spark):
+    from pacts_spark.checks import sequence_violations
+
+    rows = [
+        # conv A: clean 1,2 then gap to 5 (missing 3..4), then 6 with a
+        # timestamp BEFORE turn 2's (regression vs the running max),
+        # then 7,8 both 'user' (stutter at 8)
+        ("A", 1, "system", "s", None, "2025-01-01 00:00:00"),
+        ("A", 2, "user", "u", None, "2025-01-01 00:10:00"),
+        ("A", 5, "assistant", "a", None, "2025-01-01 00:20:00"),
+        ("A", 6, "assistant", "a2", None, "2025-01-01 00:05:00"),
+        ("A", 7, "user", "u2", None, "2025-01-01 00:30:00"),
+        ("A", 8, "user", "u3", None, "2025-01-01 00:40:00"),
+        # conv B: single turn -> nothing; conv C: gap of exactly one
+        ("B", 1, "user", "x", None, "2025-01-01 00:00:00"),
+        ("C", 1, "user", "x", None, "2025-01-01 00:00:00"),
+        ("C", 3, "assistant", "y", None, "2025-01-01 00:01:00"),
+        # null turn_idx row: excluded (schema check's problem)
+        ("A", None, "user", "z", None, "2025-01-01 00:50:00"),
+        # consecutive 'assistant' at A5->A6 is also a stutter
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select("conv_id", "turn_idx", "role", "text", "tool", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        (r.conv_id, r.turn_idx, r.violation)
+        for r in sequence_violations(df).collect()
+    }
+    assert got == {
+        ("A", 5, "Missing turn indexes 3..4"),
+        ("A", 6, "Timestamp regression at turn 6"),
+        ("A", 6, "Role 'assistant' repeated at turn 6"),
+        ("A", 8, "Role 'user' repeated at turn 8"),
+        ("C", 3, "Missing turn index 2"),
+    }
+
+
+def test_sequence_violations_duplicate_idx_no_gap_and_tool_role_exempt(spark):
+    from pacts_spark.checks import sequence_violations
+
+    rows = [
+        # duplicate idx 1 (uniqueness's problem, no gap fired); 'tool'
+        # repeats are exempt from the stutter rule
+        ("D", 1, "user", "a", None, "2025-01-01 00:00:00"),
+        ("D", 1, "assistant", "b", None, "2025-01-01 00:01:00"),
+        ("D", 2, "tool", "c", "tool-1", "2025-01-01 00:02:00"),
+        ("D", 3, "tool", "d", "tool-2", "2025-01-01 00:03:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select("conv_id", "turn_idx", "role", "text", "tool", F.col("ts_s").cast("timestamp").alias("ts"))
+    assert sequence_violations(df).count() == 0

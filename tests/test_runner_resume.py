@@ -127,3 +127,15 @@ def test_run_and_write(spark, engine, transcripts, tmp_path):
     }
     written_counts = {str(r.part): r.n_violations for r in verd.collect()}
     assert lazy_counts == written_counts
+
+
+def test_run_sequence_checks_opt_in(spark, engine, transcripts):
+    res = ValidationRun(engine).run(spark, transcripts, sequence_checks=True)
+    seq = res.violations.filter(F.col("check") == "sequence")
+    n = seq.count()
+    assert n > 0  # the derived fixture injects gaps/regressions by design
+    kinds = {r.violation.split(" ")[0] for r in seq.limit(200).collect()}
+    assert kinds <= {"Missing", "Timestamp", "Role"}
+    # default-off keeps existing outputs byte-stable
+    res_off = ValidationRun(engine).run(spark, transcripts)
+    assert res_off.violations.filter(F.col("check") == "sequence").count() == 0
