@@ -2803,6 +2803,33 @@ def _bm25_sql() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=50)
 
 
+def _q_domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (sampling.domain_cap): keep at most 10 docs per
+    source under a seeded hash order — fully distributed two-phase rank
+    (per-(stratum, md5-prefix-bucket) counts, tiny per-stratum prefix
+    window, rank join riding one (stratum,bucket) exchange); no driver
+    state, no whale-domain single-task sort."""
+    from pacts_spark.datapipe.sampling import domain_cap
+
+    return domain_cap(
+        _load(spark, sf_dir, "documents"), cap=10, seed=42
+    ).select("doc_id", "source")
+
+
+_DOMAIN_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('42:' || coalesce(CAST(source AS VARCHAR), '')
+                        || ':' || coalesce(CAST(doc_id AS VARCHAR), '')),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
 def _q_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-contract check (checks/sequence.py): turn-index gaps,
     running-max timestamp regressions and user/assistant role stutters
@@ -2893,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_documents": _q_top_ngrams_documents,
         "incremental_dedup_documents": _q_incremental_dedup_documents,
         "global_shuffle_documents": _q_global_shuffle_documents,
+        "domain_cap_documents": _q_domain_cap_documents,
         "shard_assign_documents": _q_shard_assign_documents,
         "token_blocks_documents": _q_token_blocks_documents,
         "duplicate_spans_documents": _q_duplicate_spans_documents,
@@ -2978,6 +3006,7 @@ FROM t
         "top_ngrams_documents": _TOP_NGRAMS_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
         "global_shuffle_documents": _GLOBAL_SHUFFLE_SQL,
+        "domain_cap_documents": _DOMAIN_CAP_SQL,
         "shard_assign_documents": _SHARD_ASSIGN_SQL,
         "token_blocks_documents": _TOKEN_BLOCKS_SQL,
         "duplicate_spans_documents": _DUPLICATE_SPANS_SQL,

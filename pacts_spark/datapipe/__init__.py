@@ -21,6 +21,7 @@ from pacts_spark.datapipe.dedup import (
 )
 from pacts_spark.datapipe.embedding import hashed_ngram_embedding
 from pacts_spark.datapipe.sampling import (
+    domain_cap,
     global_shuffle,
     mixture_upsample,
     shard_assign,
@@ -37,6 +38,7 @@ from pacts_spark.datapipe.textstats import (
 __all__ = [
     "chunk_dedup",
     "dedup_against_index",
+    "domain_cap",
     "global_shuffle",
     "mixture_upsample",
     "shard_assign",

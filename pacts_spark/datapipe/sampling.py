@@ -460,3 +460,74 @@ def quality_head(
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (domain/host balancing — the
+    "no single site dominates the corpus" curation step), chosen as the
+    FIRST ``cap`` under a seeded per-stratum hash order, so the kept set
+    is a uniform deterministic sample, not "whatever sorted first".
+
+    Scale design — fully DISTRIBUTED two-phase ranking (no driver state,
+    unlike ``global_shuffle``'s 256-row collect, because stratum
+    cardinality is unbounded: a web corpus has millions of hosts):
+
+    1. order key h = md5(seed:stratum:id); bucket b = first two hex
+       chars (string-prefix bucketing preserves the total order).
+    2. per-(stratum, b) counts: ONE aggregate-only shuffle, map-side
+       combine absorbs hot domains.
+    3. exclusive prefix offsets per stratum: a window over the COUNT
+       frame (<= 256 rows per stratum — bounded work however big the
+       domain is).
+    4. rows join offsets on (stratum, b) and rank within the bucket; the
+       rank window partitions by the SAME (stratum, b) key, so it rides
+       the join exchange (one data-sized shuffle total). keep =
+       offset + rank <= cap. A whale domain never sorts as one task:
+       its rows split across 256 uniform md5 buckets.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        return df.filter(F.lit(False))
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.coalesce(F.col(stratum_col).cast("string"), F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+    hashed = df.withColumn("__h", h).withColumn("__b", F.substring("__h", 1, 2))
+    cnt = hashed.groupBy(stratum_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.select(
+        stratum_col,
+        "__b",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        "__c",
+    )
+    # buckets entirely past the cap never ship their rows to the rank join
+    offs = offs.filter(F.col("__off") < F.lit(cap))
+    joined = hashed.join(offs, [stratum_col, "__b"])
+    rn = F.row_number().over(
+        Window.partitionBy(stratum_col, "__b").orderBy(
+            "__h", F.col(id_col).asc_nulls_last()
+        )
+    )
+    return (
+        joined.withColumn("__rn", rn)
+        .filter(F.col("__off") + F.col("__rn") <= F.lit(cap))
+        .drop("__h", "__b", "__off", "__c", "__rn")
+    )

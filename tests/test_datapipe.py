@@ -1199,3 +1199,36 @@ def test_pack_sequences_groups_partition_rows(spark):
     assert (over["count"] == 1).all()  # only oversized singletons exceed budget
     out2 = pack_sequences(df, budget=20, n_groups=4).toPandas()
     assert out.sort_values("doc_id").pack_group.tolist() == out2.sort_values("doc_id").pack_group.tolist()
+
+
+def test_domain_cap_exact_first_k_by_hash_order(spark):
+    from pacts_spark.datapipe.sampling import domain_cap
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("host-"), (F.col("id") % 7).cast("string")).alias("source"),
+        F.lit("x").alias("text"),
+    )
+    got = domain_cap(df, cap=20, stratum_col="source", id_col="doc_id", seed=7)
+    # exactly min(cap, n) per stratum
+    per = {r.source: r.c for r in got.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert set(per.values()) == {20}
+    # the kept set IS the first 20 under the seeded hash total order
+    h = F.md5(F.concat(F.lit("7:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(h, "doc_id"))
+    want = {r.doc_id for r in df.withColumn("rn", rn).filter(F.col("rn") <= 20).collect()}
+    assert {r.doc_id for r in got.collect()} == want
+    # original columns survive
+    assert set(got.columns) == {"doc_id", "source", "text"}
+
+
+def test_domain_cap_edges(spark):
+    from pacts_spark.datapipe.sampling import domain_cap
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("source")
+    )
+    assert domain_cap(df, cap=0).count() == 0
+    assert domain_cap(df, cap=100).count() == 10  # cap above n keeps all
+    assert domain_cap(df.filter(F.lit(False)), cap=5).count() == 0  # empty in
