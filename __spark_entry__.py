@@ -580,6 +580,23 @@ FROM base b LEFT JOIN sums s USING (doc_id)
 """
 
 
+def _q_bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (textstats.bigram_logprob): the
+    two-gram upgrade of the unigram filter — per-transition
+    ln(0.7*P(w2|w1) + 0.3*P_uni(w2)) in integer micro-nats; unigram
+    vocab cut at 24 so the OOV floor and the missing-c1 branch are both
+    exercised; bigram table stays distributed (one gram-keyed join)."""
+    from pacts_spark.datapipe.textstats import bigram_logprob
+
+    return bigram_logprob(_load(spark, sf_dir, "documents"), vocab_size=24, lam=0.7)
+
+
+def _bigram_logprob_sql() -> str:
+    from pacts_spark.datapipe.textstats import bigram_logprob_sql
+
+    return bigram_logprob_sql(vocab_size=24, lam=0.7)
+
+
 def _q_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (k=8-char grams, window w=4):
     the local/partial-overlap fingerprint set — guaranteed shared
@@ -2909,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "unigram_logprob_documents": _q_unigram_logprob_documents,
+        "bigram_logprob_documents": _q_bigram_logprob_documents,
         "dsir_logratio_documents": _q_dsir_logratio_documents,
         "winnow_fingerprints_documents": _q_winnow_fingerprints_documents,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
@@ -2993,6 +3011,7 @@ FROM t
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "unigram_logprob_documents": _UNIGRAM_LOGPROB_SQL,
+        "bigram_logprob_documents": _bigram_logprob_sql(),
         "dsir_logratio_documents": _DSIR_SQL,
         "winnow_fingerprints_documents": _WINNOW_SQL,
         "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,

@@ -642,3 +642,175 @@ def decontamination_hits(
             F.countDistinct("__eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    vocab_size: int = 50_000,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram LM quality scoring — the two-gram upgrade of
+    :func:`unigram_logprob` (a CCNet/KenLM-style perplexity filter made
+    honest): both models are built from the corpus itself, and each doc
+    is scored by the sum over positions i>=2 of
+
+        ln( lam * P(w_i | w_{i-1})  +  (1-lam) * P_uni(w_i) )
+
+    (Jelinek-Mercer interpolation). P(w2|w1) = c(w1 w2)/c(w1) uses the
+    corpus bigram table and contributes only when w1 is in the
+    top-``vocab_size`` unigram vocabulary; P_uni(w) = c(w)/N with the
+    OOV floor 1/N. Low scores = locally incoherent / rare-transition
+    text that a unigram filter cannot see (every token common, the
+    SEQUENCE improbable).
+
+    Hash-stable: per-position contributions quantize to INTEGER
+    micro-nats before the per-doc sum (order-independent, exact). The
+    interpolation weights enter both engines as identical double
+    literals (:func:`bigram_logprob_sql` emits ``repr(lam)`` with an
+    ``e0`` exponent so DuckDB parses DOUBLE, not DECIMAL).
+
+    Scale design: unigram counting is ONE explode + groupBy (map-side
+    combine absorbs the Zipf head) checkpointed once (feeds total +
+    vocab cut — the multi-reference trap); the vocabulary collapses to a
+    ONE-ROW broadcast map. The bigram table stays DISTRIBUTED (bigram
+    cardinality is corpus-sized — never a broadcast): scoring is one
+    shuffle join of position rows against it on the gram key, then one
+    aggregate back to doc_id. For production the gram join key can be
+    xxhash64(gram) (8-byte shuffle); the oracled path keeps the string
+    key for SQL parity.
+
+    Output per doc: n_bigrams, interp_micronats (BIGINT; divide by
+    n_bigrams*1e6 downstream for mean nats/transition).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(
+        t.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+    ).otherwise(F.split(t, " "))
+    nw = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    tok_rows = df.select(F.explode(toks).alias("token"))
+    freq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    freq = freq.localCheckpoint(eager=False)
+    total = freq.agg(F.sum("c").alias("__n"))
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(vocab_size)
+    )
+    vmap_row = (
+        vocab.select(
+            F.struct(F.col("token"), F.col("c")).alias("__e"), F.col("__n")
+        )
+        .agg(
+            F.map_from_entries(F.collect_list("__e")).alias("__cmap"),
+            F.max("__n").alias("__n"),
+        )
+    )
+
+    bigfreq = (
+        df.select(F.explode(bi).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+    pos = df.select(F.col(id_col), F.explode(bi).alias("gram"))
+    scored = (
+        pos.join(bigfreq, "gram")  # inner: every corpus gram is in the table
+        .crossJoin(F.broadcast(vmap_row))
+        .select(
+            F.col(id_col),
+            F.element_at(F.col("__cmap"), F.split(F.col("gram"), " ")[0]).alias("__c1"),
+            F.element_at(F.col("__cmap"), F.split(F.col("gram"), " ")[1]).alias("__c2"),
+            F.col("c12"),
+            F.col("__n"),
+        )
+    )
+    lam2 = 1.0 - lam
+    pb = F.when(
+        F.col("__c1").isNotNull(),
+        F.col("c12").cast("double") / F.col("__c1"),
+    ).otherwise(F.lit(0.0))
+    pu = F.coalesce(F.col("__c2"), F.lit(1)).cast("double") / F.col("__n")
+    contrib = F.round(
+        F.log(F.lit(lam) * pb + F.lit(lam2) * pu) * F.lit(1_000_000.0)
+    ).cast("long")
+    sums = scored.select(F.col(id_col), contrib.alias("__lp")).groupBy(id_col).agg(
+        F.sum("__lp").alias("__lpsum")
+    )
+    return (
+        df.select(F.col(id_col), F.size(bi).cast("long").alias("n_bigrams"))
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            "n_bigrams",
+            F.coalesce(F.col("__lpsum"), F.lit(0)).cast("long").alias(
+                "interp_micronats"
+            ),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    vocab_size: int = 50_000,
+    lam: float = 0.7,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob`, generated from the SAME
+    parameters so the interpolation weights are bit-identical doubles
+    (``repr(x)`` round-trips; the ``e0`` suffix forces DOUBLE parsing —
+    a bare decimal literal is DECIMAL in DuckDB and divides
+    differently)."""
+    lam_s = f"{lam!r}e0"
+    lam2_s = f"{(1.0 - lam)!r}e0"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, trim({text_col}) AS t,
+         CASE WHEN trim({text_col}) IS NULL OR length(trim({text_col})) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(trim({text_col}), ' ') END AS toks
+  FROM {table}
+),
+bg AS (
+  SELECT {id_col},
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM base
+),
+tok AS (SELECT u.tk FROM base, UNNEST(base.toks) AS u(tk)),
+freq AS (SELECT tk AS token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+vocab AS (SELECT token, c FROM freq ORDER BY c DESC, token LIMIT {vocab_size}),
+bigfreq AS (
+  SELECT u.gram, CAST(count(*) AS BIGINT) AS c12
+  FROM bg, UNNEST(bg.grams) AS u(gram) GROUP BY u.gram
+),
+pos AS (SELECT {id_col}, u.gram FROM bg, UNNEST(bg.grams) AS u(gram)),
+scored AS (
+  SELECT p.{id_col},
+         CAST(round(ln({lam_s} *
+                CASE WHEN v1.c IS NOT NULL
+                     THEN CAST(b.c12 AS DOUBLE) / v1.c ELSE 0.0e0 END
+              + {lam2_s} *
+                (CAST(COALESCE(v2.c, 1) AS DOUBLE) / (SELECT n FROM tot)))
+              * 1000000) AS BIGINT) AS lp
+  FROM pos p
+  JOIN bigfreq b ON p.gram = b.gram
+  LEFT JOIN vocab v1 ON string_split(p.gram, ' ')[1] = v1.token
+  LEFT JOIN vocab v2 ON string_split(p.gram, ' ')[2] = v2.token
+),
+sums AS (SELECT {id_col}, CAST(sum(lp) AS BIGINT) AS lpsum
+         FROM scored GROUP BY {id_col})
+SELECT bg.{id_col}, CAST(len(bg.grams) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.lpsum, 0) AS BIGINT) AS interp_micronats
+FROM bg LEFT JOIN sums s USING ({id_col})
+"""

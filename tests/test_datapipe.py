@@ -1232,3 +1232,40 @@ def test_domain_cap_edges(spark):
     assert domain_cap(df, cap=0).count() == 0
     assert domain_cap(df, cap=100).count() == 10  # cap above n keeps all
     assert domain_cap(df.filter(F.lit(False)), cap=5).count() == 0  # empty in
+
+
+def test_bigram_logprob_known_answer_and_edges(spark):
+    import math
+
+    from pacts_spark.datapipe.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "a"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df, vocab_size=10, lam=0.7).collect()}
+    # corpus: c(a)=5, c(b)=2, N=7; bigrams: "a b":2, "b a":1, "a a":1
+    def lp(c12, c1, c2):
+        return round(math.log(0.7 * (c12 / c1) + (1.0 - 0.7) * (c2 / 7)) * 1e6)
+
+    assert out[1].n_bigrams == 3
+    assert out[1].interp_micronats == lp(2, 5, 2) + lp(1, 2, 5) + lp(2, 5, 2)
+    assert out[2].n_bigrams == 1 and out[2].interp_micronats == lp(1, 5, 5)
+    for d in (3, 4, 5):  # single-token / empty / null text
+        assert out[d].n_bigrams == 0 and out[d].interp_micronats == 0
+
+
+def test_bigram_logprob_sees_bad_transitions_unigram_misses(spark):
+    """Two docs with IDENTICAL token multisets: the one with corpus-
+    typical transitions outscores the shuffled one per transition —
+    the signal a unigram filter cannot produce."""
+    from pacts_spark.datapipe.textstats import bigram_logprob, unigram_logprob
+
+    base = [(i, "the quick fox jumps over the lazy dog") for i in range(20)]
+    rows = base + [(100, "the quick fox jumps over the lazy dog"),
+                   (101, "dog the lazy quick over fox the jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r.doc_id: r.interp_micronats for r in bigram_logprob(df, vocab_size=50).collect()}
+    ug = {r.doc_id: r.logprob_micronats for r in unigram_logprob(df, vocab_size=50).collect()}
+    assert ug[100] == ug[101]          # unigram is blind to order
+    assert bg[100] > bg[101]           # bigram is not
