@@ -2804,6 +2804,26 @@ def _kmeans_sql() -> str:
 _BM25_TERMS = ("vector", "hash", "stream", "window")
 
 
+def _q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (similarity.pq_topk): 8 subspaces
+    × 16 codewords trained with two Lloyd rounds in integer micro
+    space; candidates ship as m-code arrays (8× less shuffle than raw
+    vectors); asymmetric lookup-table scoring; ADC top-32 shortlist
+    re-ranked exactly (the FAISS pattern — recall@3 0.155 → ~0.77 on
+    the fixture); integer micro² output (zero float rounding)."""
+    from pacts_spark.datapipe.similarity import pq_topk
+
+    return pq_topk(
+        _load(spark, sf_dir, "embeddings"), k=3, m=8, k_codes=16, iters=2, rerank=32
+    )
+
+
+def _pq_sql() -> str:
+    from pacts_spark.datapipe.similarity import pq_oracle_sql
+
+    return pq_oracle_sql(k=3, m=8, k_codes=16, d=64, iters=2, rerank=32)
+
+
 def _q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-50 (datapipe/ranking.bm25_topk): literal query
     terms → per-doc tf via array filters (no token explode/shuffle),
@@ -2951,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embeddings": _q_neardup_embeddings,
         "ivf_cosine_nn": _q_ivf_cosine_nn,
         "ivf_trained_nn": _q_ivf_trained_nn,
+        "pq_topk_embeddings": _q_pq_topk_embeddings,
         "quality_filter_documents": _q_quality_filter_documents,
         "media_features": _q_media_features,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
@@ -3043,6 +3064,7 @@ FROM t
         "neardup_embeddings": _NEARDUP_SQL,
         "ivf_cosine_nn": _IVF_NN_SQL,
         "ivf_trained_nn": _ivfq_sql(),
+        "pq_topk_embeddings": _pq_sql(),
         "quality_filter_documents": _QUALITY_FILTER_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "minhash_pairs_documents": _MINHASH_SQL,
