@@ -312,6 +312,50 @@ def _q_colstats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("column", "col_name")
 
 
+def _q_vector_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health check (checks/stats.vector_column_stats):
+    null / wrong-dim / non-finite / zero-vector counts plus exact
+    integer-micro² norm extrema and an order-independent truncated norm
+    sum — ONE scan, ONE map-side-combined aggregate, pure Column fold
+    (no UDF). The embedding analogue of colstats."""
+    from pacts_spark.checks.stats import vector_column_stats
+
+    return vector_column_stats(
+        _load(spark, sf_dir, "embeddings"), vec_col="embedding", expected_dim=64
+    )
+
+
+_VECTOR_STATS_SQL = """
+WITH f AS (
+  SELECT embedding IS NULL AS is_null,
+         embedding IS NOT NULL AND len(embedding) <> 64 AS bad_dim,
+         embedding IS NOT NULL AND len(embedding) = 64
+           AND len(list_filter(embedding, x -> x IS NULL
+                 OR isnan(CAST(x AS DOUBLE))
+                 OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
+         CAST(list_dot_product(
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         ) AS BIGINT) AS norm2
+  FROM embeddings
+), g AS (
+  SELECT *, NOT is_null AND NOT bad_dim AND NOT nonfinite AS good FROM f
+)
+SELECT '__all__' AS part,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       CAST(sum(CASE WHEN good AND norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       min(CASE WHEN good THEN norm2 END) AS min_norm2_micro2,
+       max(CASE WHEN good THEN norm2 END) AS max_norm2_micro2,
+       CAST(sum(CASE WHEN good THEN norm2 // 1000000 END) AS BIGINT) AS sum_norm2_micro
+FROM g
+"""
+
+
 def _q_role_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     return category_histogram(t, "role", day_part())
@@ -2936,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-level checks (north_star)
         "colstats_transcripts": _q_colstats_transcripts,
         "colstats_lineitem": _q_colstats_lineitem,
+        "vector_stats_embeddings": _q_vector_stats_embeddings,
         "role_histogram": _q_role_histogram,
         "drift_roles": _q_drift_roles,
         "gap_quantiles": _q_gap_quantiles,
@@ -3023,6 +3068,7 @@ FROM t
             "SELECT * FROM lineitem",
             ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"],
         ),
+        "vector_stats_embeddings": _VECTOR_STATS_SQL,
         "role_histogram": _ROLE_HIST_SQL,
         "drift_roles": _DRIFT_SQL,
         "gap_quantiles": _GAPS_SQL,

@@ -82,6 +82,11 @@ HEADLINE = [
     "time_rollup_events",
     "bm25_topk_documents",
     "kmeans_clusters_embeddings",
+    "bigram_logprob_documents",
+    "domain_cap_documents",
+    "sequence_violations_transcripts",
+    "pq_topk_embeddings",
+    "vector_stats_embeddings",
 ]
 
 

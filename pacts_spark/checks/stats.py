@@ -78,3 +78,71 @@ def column_stats(
         "min_value",
         "max_value",
     )
+
+
+def vector_column_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int = 64,
+    partition_col: Column | str | None = None,
+) -> DataFrame:
+    """Vector-column health check: validates an ``array<float>`` column
+    the way :func:`column_stats` validates scalars — the embedding
+    analogue of the reference's per-field presence/type checks
+    (Validator.java:118-176), lifted to the column level.
+
+    One output row per partition with
+    - ``n_rows`` / ``n_null`` — presence;
+    - ``n_bad_dim`` — non-null vectors whose length != ``expected_dim``
+      (the "wrong type" of the vector world);
+    - ``n_nonfinite`` — right-length vectors containing NULL / NaN / ±Inf
+      elements (poisoned embeddings: one NaN silently zeroes a whole
+      cosine-similarity matmul downstream);
+    - ``n_zero`` — GOOD vectors whose quantized norm is 0 (all elements
+      |x| < 5e-7 — dead embeddings that rank arbitrarily under cosine);
+    - ``min_norm2_micro2`` / ``max_norm2_micro2`` — exact min/max squared
+      L2 norm over good vectors, in integer micro² units (elements
+      quantized to round(x*1e6) BIGINT first — the repo's cross-engine
+      number space, zero float rounding);
+    - ``sum_norm2_micro`` — Σ over good vectors of floor(norm²·1e6)
+      (per-row truncation BEFORE the sum keeps every intermediate a
+      BIGINT and the total order-independent; at 1e12 rows × unit-norm
+      vectors the sum is ~1e18 < 2^63).
+
+    Scale: ONE scan, ONE aggregate (map-side combine) — the shuffle
+    carries one partial row per (mapper, partition). No UDFs: the norm
+    fold is a Column-tree ``aggregate`` inside whole-stage codegen.
+    """
+    v = F.col(vec_col)
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    is_null = v.isNull()
+    bad_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
+    nonfinite_el = lambda x: (  # noqa: E731
+        x.isNull() | F.isnan(dbl(x)) | (F.abs(dbl(x)) == F.lit(float("inf")))
+    )
+    nonfinite = ~is_null & ~bad_dim & F.exists(v, nonfinite_el)
+    good = ~is_null & ~bad_dim & ~nonfinite
+    qv = F.transform(v, lambda x: F.round(dbl(x) * F.lit(1_000_000.0)).cast("long"))
+    norm2 = F.aggregate(
+        qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    g_norm2 = F.when(good, norm2)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum(bad_dim.cast("long")).alias("n_bad_dim"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+        F.sum((good & (norm2 == F.lit(0))).cast("long")).alias("n_zero"),
+        F.min(g_norm2).alias("min_norm2_micro2"),
+        F.max(g_norm2).alias("max_norm2_micro2"),
+        # subtract the remainder first: the division is then an exact
+        # multiple (no double-rounding anywhere near a floor boundary)
+        F.sum(
+            ((g_norm2 - g_norm2 % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
+        ).alias("sum_norm2_micro"),
+    ]
+    if partition_col is None:
+        return df.agg(*aggs).select(F.lit("__all__").alias("part"), "*")
+    pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    return df.groupBy(pcol.alias("part")).agg(*aggs)

@@ -685,18 +685,18 @@ def _int_sq_dist(a, b):
     )
 
 
-def _pq_argmin_code(qcol, book: list[list[int]], s: int, ds: int):
-    """0-based index of the nearest codeword of subspace ``s`` (integer
-    distances, ties to the LOWER code — the kmeans_assign rule)."""
-    sub = F.slice(qcol, s * ds + 1, ds)
-    cands = [
-        F.struct(
-            _int_sq_dist(sub, F.array(*[F.lit(int(v)).cast("long") for v in cw])).alias("d"),
-            F.lit(j).cast("long").alias("c"),
-        )
-        for j, cw in enumerate(book)
-    ]
-    return F.array_min(F.array(*cands)).getField("c")
+def _pq_codes_np(Q, B, ds: int):
+    """Per-row nearest codeword per subspace (numpy, int64 exact):
+    argmin integer distance, ties to the LOWER code (np.argmin's
+    first-occurrence rule == the kmeans_assign tie rule)."""
+    import numpy as np
+
+    codes = np.empty((Q.shape[0], len(B)), dtype=np.int64)
+    for s, Bs in enumerate(B):
+        Qs = Q[:, s * ds : (s + 1) * ds]
+        D = ((Qs[:, None, :] - Bs[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = D.argmin(axis=1)
+    return codes
 
 
 def pq_topk(
@@ -779,29 +779,50 @@ def pq_topk(
         [list(r["__q"])[s * ds : (s + 1) * ds] for r in seeds] for s in range(m)
     ]
 
-    # ---- ``iters`` Lloyd rounds, ALL m subspaces per round in a single
-    # aggregate: assign codes per subspace, then per-(subspace, code,
-    # dim) integer means (m*k_codes*ds bounded rows to the driver)
+    # ---- ``iters`` Lloyd rounds: ONE vectorized mapInPandas pass per
+    # round emits per-batch PARTIAL (subspace, code, dim) sums — at most
+    # m*k_codes*ds rows per Arrow batch regardless of batch size (vs the
+    # N*d rows a posexplode would shuffle) — then a bounded groupBy+sum
+    # lands m*k_codes*ds rows on the driver for the mean update. A
+    # Column-tree argmin here would be a 128-struct codegen monster
+    # Catalyst re-analyzes per round (measured 17 s fixed cost at 500
+    # rows); the numpy argmin is exact integer math with the same
+    # lower-code tie rule.
     from pacts_spark.datapipe.clusters import _round_half_away
 
-    pos_s = F.floor(F.col("pos") / F.lit(ds)).cast("int")
+    def _train_fn(B):
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+                codes = _pq_codes_np(Q, B, ds)
+                col_s, col_c, col_p, col_sm, col_n = [], [], [], [], []
+                for s in range(mm_):
+                    Qs = Q[:, s * ds : (s + 1) * ds]
+                    for j in np.unique(codes[:, s]):
+                        mask = codes[:, s] == j
+                        sm = Qs[mask].sum(axis=0)
+                        n = int(mask.sum())
+                        for t in range(ds):
+                            col_s.append(s)
+                            col_c.append(int(j))
+                            col_p.append(s * ds + t)
+                            col_sm.append(int(sm[t]))
+                            col_n.append(n)
+                yield pd.DataFrame(
+                    {"s": col_s, "code": col_c, "pos": col_p, "sm": col_sm, "n": col_n}
+                )
+
+        return fn
+
+    mm_ = m
     for _ in range(int(iters)):
-        sel = pts.select(
-            "__q",
-            F.array(
-                *[_pq_argmin_code(F.col("__q"), books[s], s, ds) for s in range(m)]
-            ).alias("__codes"),
-        )
+        B = [np.asarray(books[s], dtype=np.int64) for s in range(m)]
         upd = (
-            sel.select("__codes", F.posexplode("__q").alias("pos", "val"))
-            .select(
-                pos_s.alias("s"),
-                F.get("__codes", pos_s).alias("code"),
-                F.col("pos"),
-                F.col("val"),
-            )
+            pts.mapInPandas(_train_fn(B), "s int, code long, pos int, sm long, n long")
             .groupBy("s", "code", "pos")
-            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
             .collect()
         )
         got: dict[tuple[int, int], dict[int, int]] = {}
@@ -815,12 +836,21 @@ def pq_topk(
                 if cell is not None:
                     books[s][j] = [cell[s * ds + t] for t in range(ds)]
 
-    # ---- encode against the trained books (pure projection)
-    coded = pts.select(
-        F.col(id_col),
-        F.array(
-            *[_pq_argmin_code(F.col("__q"), books[s], s, ds) for s in range(m)]
-        ).alias("__code"),
+    # ---- encode against the trained books (one vectorized Arrow pass)
+    B_fin = [np.asarray(books[s], dtype=np.int64) for s in range(m)]
+
+    def _encode_fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__q"]])
+            codes = _pq_codes_np(Q, B_fin, ds)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "__code": list(codes)}
+            )
+
+    coded = pts.mapInPandas(_encode_fn, "id long, __code array<bigint>").select(
+        F.col("id").alias(id_col), "__code"
     )
 
     union = _chunked_union(

@@ -310,3 +310,48 @@ def test_sequence_violations_duplicate_idx_no_gap_and_tool_role_exempt(spark):
         rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
     ).select("conv_id", "turn_idx", "role", "text", "tool", F.col("ts_s").cast("timestamp").alias("ts"))
     assert sequence_violations(df).count() == 0
+
+
+def test_vector_column_stats_known_answers(spark):
+    from pacts_spark.checks.stats import vector_column_stats
+
+    rows = [
+        (1, [0.6, 0.8, 0.0, 0.0]),            # norm2 = 1.0 -> 1e12 micro2
+        (2, [0.0, 0.0, 0.0, 0.0]),            # zero vector
+        (3, None),                             # null
+        (4, [1.0, 0.0]),                       # wrong dim
+        (5, [float("nan"), 0.0, 0.0, 0.0]),    # NaN element
+        (6, [float("inf"), 0.0, 0.0, 0.0]),    # Inf element
+        (7, [None, 0.0, 0.0, 0.0]),            # NULL element
+        (8, [0.5, 0.5, 0.5, 0.5]),             # norm2 = 1.0
+        (9, [2.0, 0.0, 0.0, 0.0]),             # norm2 = 4.0 -> max
+        (10, [3e-7, 0.0, 0.0, 0.0]),           # quantizes to all-zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = vector_column_stats(df, expected_dim=4).collect()[0]
+    assert r.part == "__all__"
+    assert r.n_rows == 10 and r.n_null == 1 and r.n_bad_dim == 1
+    assert r.n_nonfinite == 3          # NaN, Inf, NULL element
+    assert r.n_zero == 2               # exact zero + sub-half-micro
+    assert r.min_norm2_micro2 == 0
+    assert r.max_norm2_micro2 == 4_000_000_000_000
+    # good rows: 0 + 0 + 1e12 + 1e12 + 4e12 -> //1e6 each -> 6e6
+    assert r.sum_norm2_micro == 6_000_000
+
+    # per-partition variant groups on the given column
+    parts = vector_column_stats(
+        df.withColumn("grp", (F.col("vec_id") % 2 == 0).cast("string")),
+        expected_dim=4,
+        partition_col="grp",
+    ).collect()
+    assert {p.part for p in parts} == {"true", "false"}
+    assert sum(p.n_rows for p in parts) == 10
+
+
+def test_vector_column_stats_empty_and_all_bad(spark):
+    from pacts_spark.checks.stats import vector_column_stats
+
+    df = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    r = vector_column_stats(df, expected_dim=4).collect()[0]
+    assert r.n_rows == 1 and r.n_null == 1
+    assert r.min_norm2_micro2 is None and r.sum_norm2_micro is None
