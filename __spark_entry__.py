@@ -117,12 +117,35 @@ STRICT_TURN_SCHEMA = {
 }
 
 
+# conditional-turn schema exercising the CROSS-FIELD engine extensions
+# (JSON Schema dependentRequired + simplified if/then const) — contracts
+# the reference's per-field validator structurally cannot express
+CONDITIONAL_TURN_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "conv_id": {"type": "string"},
+        "turn_idx": {"type": "integer"},
+        "role": {"type": "string"},
+        "text": {"type": "string"},
+        "tool": {"type": "string"},
+        "ts": {"type": "string"},
+    },
+    # text deliberately NOT unconditionally required: its requirement is
+    # conditional below, so the conditional errors surface in isolation
+    "required": ["conv_id", "turn_idx", "role", "ts"],
+    "dependentRequired": {"tool": ["text"]},
+    "if": {"properties": {"role": {"const": "assistant"}}},
+    "then": {"required": ["text"]},
+}
+
+
 def _registry() -> SchemaRegistry:
     reg = SchemaRegistry(domain="bees", version="v1", schema_root=REPO / "schemas")
     reg.load_dir(REPO / "schemas")
     reg.put("tpch", "orders_check", ORDERS_CHECK_SCHEMA)
     reg.put("events", "props_check", PROPS_CHECK_SCHEMA)
     reg.put("transcripts", "turn_strict", STRICT_TURN_SCHEMA)
+    reg.put("transcripts", "turn_conditional", CONDITIONAL_TURN_SCHEMA)
     return reg
 
 
@@ -1326,6 +1349,130 @@ SELECT conv_id, turn_idx,
               CASE WHEN text IS NULL THEN 'Required field missing: text' END,
               CASE WHEN role IS NOT NULL AND role NOT IN ('system', 'user', 'assistant')
                    THEN 'Invalid value for field ''role''. Expected one of: system, user, assistant' END)
+       END AS error_message
+FROM t
+"""
+
+
+def _q_json_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema-drift detection (checks/stats.
+    json_field_type_histogram): observed-JSON-type histogram per field,
+    read from the RAW value text via Spark-4 variant extraction (quoted
+    numbers stay strings). The payload simulates producer drift: every
+    turn_idx % 7 == 0 row serializes turn_idx as a STRING — the
+    histogram surfaces the (turn_idx, string) rows a typed validator
+    only reports row by row. One scan, (field,jtype) shuffle only."""
+    from pacts_spark.checks.stats import json_field_type_histogram
+
+    t = _transcripts(spark, sf_dir)
+
+    def payload_of(idx_col):
+        return F.to_json(
+            F.struct(
+                F.col("conv_id"),
+                idx_col.alias("turn_idx"),
+                F.col("role"),
+                F.col("text"),
+                F.col("tool"),
+            ),
+            {"ignoreNullFields": "false"},
+        )
+
+    payload = F.when(
+        F.col("turn_idx") % 7 == 0, payload_of(F.col("turn_idx").cast("string"))
+    ).otherwise(payload_of(F.col("turn_idx")))
+    return json_field_type_histogram(
+        t.select(payload.alias("payload")),
+        "payload",
+        ["conv_id", "turn_idx", "role", "text", "tool", "session_id"],
+    )
+
+
+_JSON_TYPES_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}), u AS (
+  SELECT 'conv_id' AS field,
+         CASE WHEN conv_id IS NULL THEN 'null' ELSE 'string' END AS jtype FROM t
+  UNION ALL
+  SELECT 'turn_idx',
+         CASE WHEN turn_idx IS NULL THEN 'null'
+              WHEN turn_idx % 7 = 0 THEN 'string'
+              ELSE 'number' END FROM t
+  UNION ALL
+  SELECT 'role', CASE WHEN role IS NULL THEN 'null' ELSE 'string' END FROM t
+  UNION ALL
+  SELECT 'text', CASE WHEN text IS NULL THEN 'null' ELSE 'string' END FROM t
+  UNION ALL
+  SELECT 'tool', CASE WHEN tool IS NULL THEN 'null' ELSE 'string' END FROM t
+  UNION ALL
+  SELECT 'session_id', 'missing' FROM t
+)
+SELECT field, jtype, count(*) AS n FROM u GROUP BY 1, 2
+"""
+
+
+def _q_anomalous_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sigma outlier partitions over the run's own per-partition
+    verdicts (checks/drift.anomalous_partitions): exact integer z-test
+    — per-mille rates, population variance, the inequality multiplied
+    through by n_p² so no float mean/σ ever exists. Three scalars to
+    the driver; flag pass is a pure projection."""
+    from pacts_spark.checks.drift import anomalous_partitions
+
+    return anomalous_partitions(_q_partition_verdicts(spark, sf_dir), k=2)
+
+
+def _anomalous_partitions_sql() -> str:
+    return f"""
+WITH v AS ({_VERDICTS_SQL}),
+r AS (
+  SELECT part, n_rows, n_invalid_rows,
+         CAST(n_invalid_rows * 1000 // n_rows AS BIGINT) AS rate_pm
+  FROM v
+),
+s AS (
+  SELECT count(*) AS np, CAST(sum(rate_pm) AS BIGINT) AS s,
+         CAST(sum(rate_pm * rate_pm) AS BIGINT) AS r2
+  FROM r
+)
+SELECT part, n_rows, n_invalid_rows, rate_pm,
+       (np * rate_pm - s) * (np * rate_pm - s) > 4 * (np * r2 - s * s) AS anomalous
+FROM r, s
+"""
+
+
+def _q_validate_transcripts_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field conditional requirements (compiler.py §4 engine
+    extensions): dependentRequired tool→text + if role='assistant' then
+    text required — pure Column conjunctions fused into the same single
+    errors_column projection as every other check (no UDF, no extra
+    pass)."""
+    t = _transcripts(spark, sf_dir)
+    return _engine().validate_data(t, "transcripts", "turn_conditional").select(
+        "conv_id", "turn_idx", "valid", "error_message"
+    )
+
+
+_VALIDATE_CONDITIONAL_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+       (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+        AND ts IS NOT NULL
+        AND NOT (tool IS NOT NULL AND text IS NULL)
+        AND NOT (role IS NOT NULL AND role = 'assistant' AND text IS NULL)) AS valid,
+       CASE WHEN (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+                  AND ts IS NOT NULL
+                  AND NOT (tool IS NOT NULL AND text IS NULL)
+                  AND NOT (role IS NOT NULL AND role = 'assistant' AND text IS NULL))
+            THEN 'Validation successful'
+            ELSE concat_ws('; ',
+              CASE WHEN conv_id IS NULL THEN 'Required field missing: conv_id' END,
+              CASE WHEN turn_idx IS NULL THEN 'Required field missing: turn_idx' END,
+              CASE WHEN role IS NULL THEN 'Required field missing: role' END,
+              CASE WHEN ts IS NULL THEN 'Required field missing: ts' END,
+              CASE WHEN tool IS NOT NULL AND text IS NULL
+                   THEN 'Field ''text'' is required when ''tool'' is present' END,
+              CASE WHEN role IS NOT NULL AND role = 'assistant' AND text IS NULL
+                   THEN 'Field ''text'' is required when ''role'' = ''assistant''' END)
        END AS error_message
 FROM t
 """
@@ -2973,6 +3120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": _q_validate_orders,
         "validate_events_json": _q_validate_events_json,
         "validate_transcripts_strict": _q_validate_transcripts_strict,
+        "validate_transcripts_conditional": _q_validate_transcripts_conditional,
+        "anomalous_partitions_transcripts": _q_anomalous_partitions,
+        "json_type_histogram_transcripts": _q_json_type_histogram,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3103,6 +3253,9 @@ FROM t
         "langid_documents": _LANGID_SQL,
         "cosine_nn_embeddings": _COSINE_NN_SQL,
         "validate_transcripts_strict": _VALIDATE_STRICT_SQL,
+        "validate_transcripts_conditional": _VALIDATE_CONDITIONAL_SQL,
+        "anomalous_partitions_transcripts": _anomalous_partitions_sql(),
+        "json_type_histogram_transcripts": _JSON_TYPES_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

@@ -87,6 +87,9 @@ HEADLINE = [
     "sequence_violations_transcripts",
     "pq_topk_embeddings",
     "vector_stats_embeddings",
+    "validate_transcripts_conditional",
+    "anomalous_partitions_transcripts",
+    "json_type_histogram_transcripts",
 ]
 
 

@@ -120,3 +120,59 @@ def drift_scores_pandas(current: DataFrame, baseline: DataFrame) -> DataFrame:
         score,
         "part string, kl_divergence double, chi_squared double, n_categories long",
     )
+
+
+def anomalous_partitions(
+    verdicts: DataFrame,
+    k: int = 3,
+    part_col: str = "part",
+    n_col: str = "n_rows",
+    bad_col: str = "n_invalid_rows",
+) -> DataFrame:
+    """Flag partitions whose violation RATE is a k-sigma outlier against
+    the run's own partition population — ranks the per-partition
+    verdicts (engine.partition_verdicts) so a bad ingest day surfaces
+    instead of drowning in thousands of green partitions.
+
+    EXACT integer math end to end (no float mean/std anywhere): rates
+    quantize to per-mille (r = bad*1000 div n), and the z-test
+    |r_i − mean| > k·σ is multiplied through by n_p² to the equivalent
+    integer inequality
+
+        (n_p·r_i − S)² > k²·(n_p·ΣR2 − S²)
+
+    (population variance). Bounds: r ≤ 1000, so with n_p ≤ 10⁶
+    partitions every intermediate stays < 2^63 — hash-stable and
+    order-independent across engines. σ = 0 (all rates equal) flags
+    nothing, matching the strict inequality.
+
+    Scale: the verdict frame is partition-granular (one row per table
+    partition — bounded by the catalog, not the data), so the three
+    population scalars come from ONE aggregate collected to the driver
+    and re-enter the plan as literals; the flag pass is a pure
+    projection. No window-into-one-task, no second shuffle.
+    """
+    # integer floor division via the exact-multiple trick: subtract the
+    # remainder BEFORE dividing, so the double division is of an exact
+    # multiple (IEEE-exact; both operands < 2^53)
+    num = F.col(bad_col).cast("long") * F.lit(1000)
+    rate = ((num - num % F.col(n_col)) / F.col(n_col)).cast("long")
+    with_rate = verdicts.withColumn("rate_pm", rate)
+    stats = with_rate.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("rate_pm").alias("s"),
+        F.sum(F.col("rate_pm") * F.col("rate_pm")).alias("r2"),
+    ).collect()[0]
+    n_p = int(stats["np"] or 0)
+    if n_p == 0:
+        return with_rate.select(
+            F.col(part_col), F.col(n_col), F.col(bad_col), "rate_pm",
+            F.lit(False).alias("anomalous"),
+        )
+    s, r2 = int(stats["s"]), int(stats["r2"])
+    dev = F.col("rate_pm") * F.lit(n_p) - F.lit(s)
+    thr = F.lit(int(k) * int(k)) * F.lit(n_p * r2 - s * s)
+    return with_rate.select(
+        F.col(part_col), F.col(n_col), F.col(bad_col), "rate_pm",
+        (dev * dev > thr).alias("anomalous"),
+    )

@@ -146,3 +146,61 @@ def vector_column_stats(
         return df.agg(*aggs).select(F.lit("__all__").alias("part"), "*")
     pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     return df.groupBy(pcol.alias("part")).agg(*aggs)
+
+
+def json_field_type_histogram(
+    df: DataFrame,
+    json_col: str,
+    fields: list[str],
+    partition_col: Column | str | None = None,
+) -> DataFrame:
+    """Observed-type histogram over top-level fields of a raw JSON
+    payload column — payload schema-drift detection: a producer that
+    starts sending ``"turn_idx": "5"`` (string) instead of ``5``
+    (number) shows up as a new (field, jtype) row long before the typed
+    validator's per-row errors are triaged.
+
+    Per (field, jtype) counts where jtype ∈ string / number / boolean /
+    null / object / array / missing (key absent OR payload NULL) /
+    invalid (payload present but unparseable). Classification reads the
+    RAW JSON value text (Spark 4 variant: ``try_parse_json`` →
+    ``try_variant_get(.., 'variant')`` → ``to_json``), so it sees what
+    the producer actually wrote — quoted numbers stay strings — which
+    ``from_json``-to-map would erase (map<string,string> strips quotes).
+
+    Scale: ONE scan; the parse happens once per row (one variant
+    build, m cheap path extracts); the shuffle carries (field, jtype)
+    pairs pre-combined map-side — output cardinality ≤ m·8 regardless
+    of corpus size. Pure Column tree, no UDF.
+    """
+    payload = F.col(json_col)
+    pj = F.try_parse_json(payload)
+
+    def classify(field: str) -> Column:
+        raw = F.to_json(F.try_variant_get(pj, f"$.{field}", "variant"))
+        return (
+            F.when(payload.isNotNull() & pj.isNull(), F.lit("invalid"))
+            .when(raw.isNull(), F.lit("missing"))
+            .when(raw.startswith('"'), F.lit("string"))
+            .when(raw == "null", F.lit("null"))
+            .when((raw == "true") | (raw == "false"), F.lit("boolean"))
+            .when(raw.startswith("{"), F.lit("object"))
+            .when(raw.startswith("["), F.lit("array"))
+            .otherwise(F.lit("number"))
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(F.lit(f).alias("field"), classify(f).alias("jtype"))
+            for f in fields
+        ]
+    )
+    exploded = df.select(
+        *([] if partition_col is None else [F.col(partition_col).alias("part")]),
+        F.explode(pairs).alias("fj"),
+    )
+    keys = (["part"] if partition_col is not None else []) + [
+        F.col("fj.field").alias("field"),
+        F.col("fj.jtype").alias("jtype"),
+    ]
+    return exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))

@@ -95,6 +95,17 @@ def _pattern_error(field: str, pattern: str) -> str:
     return f"Invalid format for field '{field}'. Expected pattern: {pattern}"
 
 
+def _dependent_required_error(field: str, trigger: str) -> str:
+    """Engine extension (JSON Schema 2019-09 ``dependentRequired``)."""
+    return f"Field '{field}' is required when '{trigger}' is present"
+
+
+def _conditional_required_error(field: str, conds: list[tuple[str, object]]) -> str:
+    """Engine extension (simplified JSON Schema ``if``/``then``)."""
+    desc = " and ".join(f"'{p}' = '{v}'" for p, v in conds)
+    return f"Field '{field}' is required when {desc}"
+
+
 def compile_relational(
     schema: dict, df_schema: T.StructType
 ) -> list[tuple[Column, str]]:
@@ -150,6 +161,48 @@ def compile_relational(
                         present & ~_regex_match_udf(pattern)(F.col(pname).cast("string")),
                         _pattern_error(pname, pattern),
                     )
+                )
+
+    # 4. engine extensions: CROSS-FIELD conditional requirements — checks
+    #    the per-field reference validator structurally cannot express.
+    #    Both compile to pure Column conjunctions (codegen, no UDF) and
+    #    append AFTER the per-property checks in schema insertion order.
+    #    4a. JSON Schema 2019-09 `dependentRequired`:
+    #        {"trigger": ["dep", ...]} — deps must be present whenever
+    #        trigger is present.
+    dep_req = schema.get("dependentRequired")
+    if isinstance(dep_req, dict):
+        for trigger, deps in dep_req.items():
+            trig_present = (
+                F.col(trigger).isNotNull() if trigger in fields else F.lit(False)
+            )
+            for dep in deps or []:
+                dep_missing = F.col(dep).isNull() if dep in fields else F.lit(True)
+                checks.append(
+                    (trig_present & dep_missing, _dependent_required_error(dep, trigger))
+                )
+    #    4b. simplified `if`/`then`: if.properties.{p}.const values must
+    #        ALL match (present + equal) for then.required to apply.
+    cond_if = schema.get("if")
+    cond_then = schema.get("then")
+    if isinstance(cond_if, dict) and isinstance(cond_then, dict):
+        if_props = (cond_if.get("properties") or {}).items()
+        conds = [
+            (p, ps["const"]) for p, ps in if_props
+            if isinstance(ps, dict) and "const" in ps
+        ]
+        if conds:
+            fire = F.lit(True)
+            for p, v in conds:
+                fire = fire & (
+                    (F.col(p).isNotNull() & (F.col(p) == F.lit(v)))
+                    if p in fields
+                    else F.lit(False)
+                )
+            for req in cond_then.get("required", []) or []:
+                req_missing = F.col(req).isNull() if req in fields else F.lit(True)
+                checks.append(
+                    (fire & req_missing, _conditional_required_error(req, conds))
                 )
     return checks
 

@@ -355,3 +355,59 @@ def test_vector_column_stats_empty_and_all_bad(spark):
     r = vector_column_stats(df, expected_dim=4).collect()[0]
     assert r.n_rows == 1 and r.n_null == 1
     assert r.min_norm2_micro2 is None and r.sum_norm2_micro is None
+
+
+def test_anomalous_partitions_spike_sigma_zero_and_empty(spark):
+    from pacts_spark.checks.drift import anomalous_partitions
+
+    # one spiked partition among uniform ones: only the spike flags.
+    # NOTE k=2, not 3: a single outlier among n_p=10 uniform partitions
+    # has z = sqrt(n_p - 1) = 3 exactly under population variance, and
+    # the test is strict — the integer math reproduces that boundary
+    # EXACTLY (dev² == k²·var at k=3), which floats would fuzz.
+    rows = [("p%d" % i, 1000, 10) for i in range(9)] + [("spike", 1000, 500)]
+    df = spark.createDataFrame(rows, "part string, n_rows long, n_invalid_rows long")
+    got = {r.part: r.anomalous for r in anomalous_partitions(df, k=2).collect()}
+    assert got["spike"] is True
+    assert sum(got.values()) == 1
+    # the exact-boundary case: k=3 must NOT flag (strict inequality)
+    got3 = {r.part: r.anomalous for r in anomalous_partitions(df, k=3).collect()}
+    assert not any(got3.values())
+    # sigma = 0 (all rates equal): strict inequality flags nothing
+    flat = spark.createDataFrame(
+        [("a", 100, 5), ("b", 200, 10), ("c", 1000, 50)],
+        "part string, n_rows long, n_invalid_rows long",
+    )
+    assert not any(r.anomalous for r in anomalous_partitions(flat, k=1).collect())
+    # empty input: empty output, stable schema
+    out = anomalous_partitions(df.filter(F.lit(False)))
+    assert out.count() == 0 and "anomalous" in out.columns
+
+
+def test_json_field_type_histogram_all_types(spark):
+    from pacts_spark.checks.stats import json_field_type_histogram
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": "x", "b": 5, "c": null, "d": true, "e": [1], "f": {"g": 1}}',),
+            ('{"a": "5", "b": -2.5, "d": false}',),   # quoted number stays string
+            ("not json",),                             # invalid payload
+            (None,),                                   # missing payload
+        ],
+        "payload string",
+    )
+    got = {
+        (r.field, r.jtype): r.n
+        for r in json_field_type_histogram(
+            df, "payload", ["a", "b", "c", "d", "e", "f", "zz"]
+        ).collect()
+    }
+    assert got[("a", "string")] == 2       # "x" AND "5" — quotes preserved
+    assert got[("b", "number")] == 2       # 5 and -2.5
+    assert got[("c", "null")] == 1 and got[("c", "missing")] == 2
+    assert got[("d", "boolean")] == 2
+    assert got[("e", "array")] == 1 and got[("f", "object")] == 1
+    assert got[("zz", "missing")] == 3     # absent key + NULL payload
+    assert got[("a", "invalid")] == 1      # unparseable payload row
+    # every field of the invalid row classifies 'invalid'
+    assert all(got.get((f, "invalid"), 0) == 1 for f in ["a", "b", "c", "d", "e", "f", "zz"])

@@ -225,3 +225,54 @@ def test_huge_integer_json_mode_java_semantics(spark, engine, registry):
     # the pure-Python oracle agrees (differential pin)
     from pacts_spark import oracle as _o
     assert _o.validate_data({"k": big}, registry.load_schema("t", "huge_int")).valid
+
+
+def test_conditional_required_checks(spark, registry, engine):
+    """dependentRequired + if/then const extensions: fire rules, error
+    ORDER (required -> props -> dependentRequired -> if/then), and the
+    missing-column conventions (absent trigger never fires; absent dep
+    always fires under the condition)."""
+    registry.put("transcripts", "cond", {
+        "type": "object",
+        "properties": {"role": {"type": "string"}},
+        "required": ["role"],
+        "dependentRequired": {"tool": ["text"]},
+        "if": {"properties": {"role": {"const": "assistant"}}},
+        "then": {"required": ["text"]},
+    })
+    df = spark.createDataFrame(
+        [
+            ("assistant", "hi", None),      # ok (text set)
+            ("assistant", None, None),      # if/then fires
+            ("user", None, "t-1"),          # dependentRequired fires
+            ("assistant", None, "t-1"),     # BOTH fire, depReq first
+            (None, None, None),             # required fires; role null -> if doesn't
+        ],
+        "role string, text string, tool string",
+    )
+    rows = engine.validate_data(df, "transcripts", "cond").collect()
+    msgs = {
+        (r.role, r.tool): r.error_message for r in rows
+    }
+    assert msgs[("assistant", None)] == "Field 'text' is required when 'role' = 'assistant'"
+    assert msgs[("user", "t-1")] == "Field 'text' is required when 'tool' is present"
+    assert msgs[("assistant", "t-1")] == (
+        "Field 'text' is required when 'tool' is present; "
+        "Field 'text' is required when 'role' = 'assistant'"
+    )
+    assert msgs[(None, None)] == "Required field missing: role"
+    ok = [r for r in rows if r.role == "assistant" and r.tool is None and r.valid]
+    assert len(ok) == 1 and ok[0].error_message == "Validation successful"
+
+    # absent trigger column: dependentRequired can never fire; absent
+    # dep column: always missing when the condition holds
+    registry.put("transcripts", "cond2", {
+        "type": "object",
+        "dependentRequired": {"nope": ["text"]},
+        "if": {"properties": {"role": {"const": "assistant"}}},
+        "then": {"required": ["ghost"]},
+    })
+    df2 = spark.createDataFrame([("assistant", "x")], "role string, text string")
+    r2 = engine.validate_data(df2, "transcripts", "cond2").collect()[0]
+    assert r2.error_message == "Field 'ghost' is required when 'role' = 'assistant'"
+    assert not r2.valid
