@@ -1354,6 +1354,53 @@ FROM t
 """
 
 
+def _q_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level shape contracts (checks/sequence.
+    conversation_shape_violations): opener ∈ {system,user}, closer =
+    assistant, 50 ≤ turns ≤ 80 — whole-dialogue properties no per-row
+    check can see. ONE conv-keyed aggregate (endpoint struct min/max
+    combine map-side; no window sort)."""
+    from pacts_spark.checks.sequence import conversation_shape_violations
+
+    return conversation_shape_violations(
+        _transcripts(spark, sf_dir),
+        open_roles=("system", "user"),
+        close_roles=("assistant",),
+        min_turns=50,
+        max_turns=80,
+    )
+
+
+_CONV_SHAPE_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+a AS (
+  SELECT conv_id,
+    first(role ORDER BY turn_idx, coalesce(role,''), coalesce(text,''), coalesce(tool,'')) AS fr,
+    first(turn_idx ORDER BY turn_idx, coalesce(role,''), coalesce(text,''), coalesce(tool,'')) AS fi,
+    last(role ORDER BY turn_idx, coalesce(role,''), coalesce(text,''), coalesce(tool,'')) AS lr,
+    last(turn_idx ORDER BY turn_idx, coalesce(role,''), coalesce(text,''), coalesce(tool,'')) AS li,
+    count(*) AS n
+  FROM t WHERE turn_idx IS NOT NULL GROUP BY conv_id
+),
+u AS (
+  SELECT conv_id, fi AS turn_idx,
+         'Conversation opens with role ''' || coalesce(fr, '__null__') || '''' AS violation
+  FROM a WHERE coalesce(fr, '__null__') NOT IN ('system', 'user')
+  UNION ALL
+  SELECT conv_id, li,
+         'Conversation ends with role ''' || coalesce(lr, '__null__') || ''''
+  FROM a WHERE coalesce(lr, '__null__') NOT IN ('assistant')
+  UNION ALL
+  SELECT conv_id, fi, 'Conversation has ' || n || ' turns (minimum 50)'
+  FROM a WHERE n < 50
+  UNION ALL
+  SELECT conv_id, li, 'Conversation has ' || n || ' turns (maximum 80)'
+  FROM a WHERE n > 80
+)
+SELECT conv_id, turn_idx, 'shape' AS check_name, violation FROM u
+"""
+
+
 def _q_json_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload schema-drift detection (checks/stats.
     json_field_type_histogram): observed-JSON-type histogram per field,
@@ -1407,6 +1454,40 @@ WITH t AS ({TRANSCRIPTS_SQL}), u AS (
   SELECT 'session_id', 'missing' FROM t
 )
 SELECT field, jtype, count(*) AS n FROM u GROUP BY 1, 2
+"""
+
+
+def _q_inferred_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema bootstrap (checks/stats.infer_payload_schema): observed
+    type histogram → per-field modal type + support ppm + nullable /
+    required evidence — data to enforceable contract (the collected
+    rows feed schema_dict_from_inference → the compiler). Heavy work is
+    the histogram's one scan; this stage is catalog-sized."""
+    from pacts_spark.checks.stats import infer_payload_schema
+
+    return infer_payload_schema(_q_json_type_histogram(spark, sf_dir))
+
+
+def _inferred_schema_sql() -> str:
+    return f"""
+WITH h AS ({_JSON_TYPES_SQL}),
+m AS (
+  SELECT field, jtype AS inferred_type, n FROM (
+    SELECT field, jtype, n,
+           row_number() OVER (PARTITION BY field ORDER BY n DESC, jtype ASC) AS rk
+    FROM h WHERE jtype NOT IN ('null', 'missing', 'invalid')
+  ) WHERE rk = 1
+),
+tot AS (
+  SELECT field, CAST(sum(n) AS BIGINT) AS n_total,
+         sum(CASE WHEN jtype = 'null' THEN n ELSE 0 END) > 0 AS nullable,
+         sum(CASE WHEN jtype = 'missing' THEN n ELSE 0 END) = 0 AS required
+  FROM h GROUP BY field
+)
+SELECT t.field, coalesce(m.inferred_type, 'unknown') AS inferred_type,
+       CAST(coalesce(m.n, 0) * 1000000 // t.n_total AS BIGINT) AS support_ppm,
+       t.nullable, t.required
+FROM tot t LEFT JOIN m USING (field)
 """
 
 
@@ -3123,6 +3204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_transcripts_conditional": _q_validate_transcripts_conditional,
         "anomalous_partitions_transcripts": _q_anomalous_partitions,
         "json_type_histogram_transcripts": _q_json_type_histogram,
+        "conversation_shape_transcripts": _q_conversation_shape,
+        "inferred_schema_transcripts": _q_inferred_schema,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3256,6 +3339,8 @@ FROM t
         "validate_transcripts_conditional": _VALIDATE_CONDITIONAL_SQL,
         "anomalous_partitions_transcripts": _anomalous_partitions_sql(),
         "json_type_histogram_transcripts": _JSON_TYPES_SQL,
+        "conversation_shape_transcripts": _CONV_SHAPE_SQL,
+        "inferred_schema_transcripts": _inferred_schema_sql(),
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

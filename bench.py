@@ -90,6 +90,8 @@ HEADLINE = [
     "validate_transcripts_conditional",
     "anomalous_partitions_transcripts",
     "json_type_histogram_transcripts",
+    "conversation_shape_transcripts",
+    "inferred_schema_transcripts",
 ]
 
 

@@ -126,3 +126,106 @@ def sequence_violations(
             *passthrough,
         )
     )
+
+
+def conversation_shape_violations(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    open_roles: tuple[str, ...] = ("system", "user"),
+    close_roles: tuple[str, ...] = ("assistant",),
+    min_turns: int = 1,
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Conversation-LEVEL shape contracts — who may open, who must
+    close, and how long a dialogue may run. Another cross-row family
+    the reference's per-row engine cannot express: the verdict is a
+    property of the whole conversation, not any single turn.
+
+    Emits the runner's ``(conv_id, turn_idx, check_name='shape',
+    violation)`` rows, anchored at the opening turn (open / too-short)
+    or the closing turn (close / too-long):
+
+    - "Conversation opens with role 'r'"   (first role ∉ open_roles)
+    - "Conversation ends with role 'r'"    (last role ∉ close_roles)
+    - "Conversation has N turns (minimum M)" / "(maximum M)"
+
+    First/last = min/max of the struct (turn_idx, role, text, tool) —
+    an AGGREGATE, not a window: ONE conv-keyed exchange whose partial
+    min/max combine map-side, so a whale conversation contributes one
+    struct per mapper instead of one sorted task (cheaper than the
+    sequence_violations sort when only endpoints matter). NULL-safe
+    ordering: nullable tuple fields enter via coalesce(x, '') so both
+    engines agree without NULLS FIRST/LAST pinning (documented limit:
+    roles/text/tool that are literally '' tie with NULL — not a value
+    the transcripts derivation produces). Rows with NULL turn_idx are
+    excluded, as in sequence_violations (that's the required-field
+    check's violation).
+    """
+    idx = F.col(idx_col)
+    key = F.struct(
+        idx.alias("i"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("r"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+        F.coalesce(F.col("tool"), F.lit("")).alias("o"),
+        F.col(role_col).alias("role_raw"),
+    )
+    agg = (
+        transcripts.filter(idx.isNotNull())
+        .groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.min(key).alias("first"),
+            F.max(key).alias("last"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    first_role = F.coalesce(F.col("first.role_raw"), F.lit("__null__"))
+    last_role = F.coalesce(F.col("last.role_raw"), F.lit("__null__"))
+    n = F.col("n_turns")
+    checks = [
+        (
+            ~first_role.isin(*open_roles),
+            F.col("first.i"),
+            F.concat(F.lit("Conversation opens with role '"), first_role, F.lit("'")),
+        ),
+        (
+            ~last_role.isin(*close_roles),
+            F.col("last.i"),
+            F.concat(F.lit("Conversation ends with role '"), last_role, F.lit("'")),
+        ),
+        (
+            n < F.lit(int(min_turns)),
+            F.col("first.i"),
+            F.concat(
+                F.lit("Conversation has "), n.cast("string"),
+                F.lit(f" turns (minimum {int(min_turns)})"),
+            ),
+        ),
+    ]
+    if max_turns is not None:
+        checks.append(
+            (
+                n > F.lit(int(max_turns)),
+                F.col("last.i"),
+                F.concat(
+                    F.lit("Conversation has "), n.cast("string"),
+                    F.lit(f" turns (maximum {int(max_turns)})"),
+                ),
+            )
+        )
+    slots = F.array(
+        *[
+            F.when(cond, F.struct(anchor.alias("turn_idx"), msg.alias("violation")))
+            for cond, anchor, msg in checks
+        ]
+    )
+    return agg.select(
+        "conv_id", F.explode(F.array_compact(slots)).alias("_v")
+    ).select(
+        "conv_id",
+        F.col("_v.turn_idx").alias("turn_idx"),
+        F.lit("shape").alias("check_name"),
+        F.col("_v.violation").alias("violation"),
+    )

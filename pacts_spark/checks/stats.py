@@ -204,3 +204,88 @@ def json_field_type_histogram(
         F.col("fj.jtype").alias("jtype"),
     ]
     return exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def infer_payload_schema(hist: DataFrame) -> DataFrame:
+    """Bootstrap a pact schema from observed payload types: consumes
+    :func:`json_field_type_histogram` output (field, jtype, n) and
+    emits, per field, the MODAL concrete type plus the evidence a
+    schema author needs —
+
+    - ``inferred_type``: most-observed jtype excluding null / missing /
+      invalid ('unknown' when no concrete observation exists); ties
+      break to the alphabetically first type (deterministic);
+    - ``support_ppm``: modal-type observations as integer ppm of ALL
+      observations for the field (exact-multiple integer division);
+    - ``nullable``: any JSON-null observed;
+    - ``required``: no missing-key observation.
+
+    Feed the result through :func:`schema_dict_from_inference` to get a
+    dict the compiler validates with directly — observed data to
+    enforced contract with no human in the loop.
+
+    Scale: the histogram is already tiny (≤ fields×8 rows), so the
+    window/aggregate here are driver-bounded by construction; the heavy
+    lifting happened in the histogram's single corpus scan.
+    """
+    from pyspark.sql import Window
+
+    concrete = hist.filter(~F.col("jtype").isin("null", "missing", "invalid"))
+    w = Window.partitionBy("field").orderBy(F.col("n").desc(), F.col("jtype").asc())
+    modal = (
+        concrete.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("field", F.col("jtype").alias("inferred_type"), F.col("n").alias("__n_modal"))
+    )
+    totals = hist.groupBy("field").agg(
+        F.sum("n").alias("__n_total"),
+        (F.sum(F.when(F.col("jtype") == "null", F.col("n")).otherwise(0)) > 0).alias(
+            "nullable"
+        ),
+        (F.sum(F.when(F.col("jtype") == "missing", F.col("n")).otherwise(0)) == 0).alias(
+            "required"
+        ),
+    )
+    num = F.coalesce(F.col("__n_modal"), F.lit(0)) * F.lit(1_000_000)
+    return (
+        totals.join(modal, "field", "left")
+        .select(
+            "field",
+            F.coalesce(F.col("inferred_type"), F.lit("unknown")).alias("inferred_type"),
+            ((num - num % F.col("__n_total")) / F.col("__n_total"))
+            .cast("long")
+            .alias("support_ppm"),
+            "nullable",
+            "required",
+        )
+    )
+
+
+_JSON_TO_PACT_TYPE = {
+    "string": "string",
+    "number": "number",
+    "boolean": "boolean",
+    "object": "object",
+    "array": "array",
+}
+
+
+def schema_dict_from_inference(
+    inferred_rows, min_support_ppm: int = 900_000
+) -> dict:
+    """Collected :func:`infer_payload_schema` rows → a pact schema dict
+    (the compiler's input format): fields whose modal type carries at
+    least ``min_support_ppm`` support get a typed property; fields that
+    were never missing AND never null become ``required``. Driver-side
+    by design — the input is one row per field."""
+    props: dict = {}
+    required: list[str] = []
+    for r in sorted(inferred_rows, key=lambda r: r["field"]):
+        t = _JSON_TO_PACT_TYPE.get(r["inferred_type"])
+        if t is not None and r["support_ppm"] >= min_support_ppm:
+            props[r["field"]] = {"type": t}
+        else:
+            props[r["field"]] = {}
+        if r["required"] and not r["nullable"]:
+            required.append(r["field"])
+    return {"type": "object", "properties": props, "required": required}

@@ -411,3 +411,75 @@ def test_json_field_type_histogram_all_types(spark):
     assert got[("a", "invalid")] == 1      # unparseable payload row
     # every field of the invalid row classifies 'invalid'
     assert all(got.get((f, "invalid"), 0) == 1 for f in ["a", "b", "c", "d", "e", "f", "zz"])
+
+
+def test_conversation_shape_violations_known_answers(spark):
+    from pacts_spark.checks.sequence import conversation_shape_violations
+
+    rows = [
+        # A: opens user, ends assistant, 3 turns -> clean
+        ("A", 1, "user", "q", None), ("A", 2, "assistant", "a", None),
+        ("A", 3, "assistant", "b", None),
+        # B: opens assistant (bad), ends user (bad), 2 turns
+        ("B", 1, "assistant", "x", None), ("B", 2, "user", "y", None),
+        # C: 1 turn (below min 2), opener/closer same bad row
+        ("C", 7, "tool", None, "t-1"),
+        # D: NULL turn_idx rows excluded entirely
+        ("D", None, "user", "z", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.violation)
+        for r in conversation_shape_violations(
+            df, open_roles=("system", "user"), close_roles=("assistant",),
+            min_turns=2, max_turns=2,
+        ).collect()
+    }
+    assert got == {
+        ("B", 1, "Conversation opens with role 'assistant'"),
+        ("B", 2, "Conversation ends with role 'user'"),
+        ("A", 3, "Conversation has 3 turns (maximum 2)"),
+        ("C", 7, "Conversation opens with role 'tool'"),
+        ("C", 7, "Conversation ends with role 'tool'"),
+        ("C", 7, "Conversation has 1 turns (minimum 2)"),
+    }
+
+
+def test_infer_payload_schema_and_roundtrip_to_compiler(spark, registry, engine):
+    """The full loop: raw payloads -> type histogram -> inferred schema
+    -> pact schema dict -> compiler validates the SAME payload shape."""
+    from pacts_spark.checks.stats import (
+        infer_payload_schema,
+        json_field_type_histogram,
+        schema_dict_from_inference,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", 1, "hi", None), ("u2", 2, "yo", None), ("u3", None, "z", 1.5)],
+        "uid string, k int, text string, drifted double",
+    )
+    payload = df.select(
+        F.to_json(F.struct("uid", "k", "text", "drifted"),
+                  {"ignoreNullFields": "false"}).alias("p")
+    )
+    hist = json_field_type_histogram(payload, "p", ["uid", "k", "text", "drifted", "gone"])
+    inf = {r.field: r for r in infer_payload_schema(hist).collect()}
+    assert inf["uid"].inferred_type == "string" and inf["uid"].required and not inf["uid"].nullable
+    assert inf["k"].inferred_type == "number" and inf["k"].nullable
+    assert inf["gone"].inferred_type == "unknown" and not inf["gone"].required
+    assert inf["uid"].support_ppm == 1_000_000
+    assert inf["k"].support_ppm == 666_666  # 2/3 exact floor
+
+    schema = schema_dict_from_inference(
+        [r.asDict() for r in inf.values()], min_support_ppm=600_000
+    )
+    assert schema["required"] == ["text", "uid"]
+    assert schema["properties"]["k"] == {"type": "number"}
+    assert schema["properties"]["gone"] == {}  # unknown -> untyped
+
+    # the inferred schema validates the original frame via the compiler
+    registry.put("inferred", "payload", schema)
+    out = engine.validate_data(df, "inferred", "payload").collect()
+    assert all(r.valid for r in out)  # frame matches its own inferred contract
