@@ -138,6 +138,7 @@ def conversation_shape_violations(
     close_roles: tuple[str, ...] = ("assistant",),
     min_turns: int = 1,
     max_turns: int | None = None,
+    part_col: Column | None = None,
 ) -> DataFrame:
     """Conversation-LEVEL shape contracts — who may open, who must
     close, and how long a dialogue may run. Another cross-row family
@@ -165,13 +166,19 @@ def conversation_shape_violations(
     check's violation).
     """
     idx = F.col(idx_col)
-    key = F.struct(
+    key_fields = [
         idx.alias("i"),
         F.coalesce(F.col(role_col), F.lit("")).alias("r"),
         F.coalesce(F.col("text"), F.lit("")).alias("t"),
         F.coalesce(F.col("tool"), F.lit("")).alias("o"),
         F.col(role_col).alias("role_raw"),
-    )
+    ]
+    if part_col is not None:
+        # payload tail: the anchor row's partition rides the endpoint
+        # struct so runner rows carry the anchor turn's part (affects
+        # comparison only on rows identical in every key field)
+        key_fields.append(part_col.cast("string").alias("part"))
+    key = F.struct(*key_fields)
     agg = (
         transcripts.filter(idx.isNotNull())
         .groupBy(F.col(conv_col).alias("conv_id"))
@@ -187,17 +194,17 @@ def conversation_shape_violations(
     checks = [
         (
             ~first_role.isin(*open_roles),
-            F.col("first.i"),
+            F.col("first"),
             F.concat(F.lit("Conversation opens with role '"), first_role, F.lit("'")),
         ),
         (
             ~last_role.isin(*close_roles),
-            F.col("last.i"),
+            F.col("last"),
             F.concat(F.lit("Conversation ends with role '"), last_role, F.lit("'")),
         ),
         (
             n < F.lit(int(min_turns)),
-            F.col("first.i"),
+            F.col("first"),
             F.concat(
                 F.lit("Conversation has "), n.cast("string"),
                 F.lit(f" turns (minimum {int(min_turns)})"),
@@ -208,24 +215,42 @@ def conversation_shape_violations(
         checks.append(
             (
                 n > F.lit(int(max_turns)),
-                F.col("last.i"),
+                F.col("last"),
                 F.concat(
                     F.lit("Conversation has "), n.cast("string"),
                     F.lit(f" turns (maximum {int(max_turns)})"),
                 ),
             )
         )
+    def _anchor_part(anchor: Column) -> Column:
+        # anchor is first/last struct; its carried part (when requested)
+        return anchor.getField("part")
+
     slots = F.array(
         *[
-            F.when(cond, F.struct(anchor.alias("turn_idx"), msg.alias("violation")))
+            F.when(
+                cond,
+                F.struct(
+                    anchor.getField("i").alias("turn_idx"),
+                    msg.alias("violation"),
+                    *(
+                        [_anchor_part(anchor).alias("part")]
+                        if part_col is not None
+                        else []
+                    ),
+                ),
+            )
             for cond, anchor, msg in checks
         ]
     )
-    return agg.select(
-        "conv_id", F.explode(F.array_compact(slots)).alias("_v")
-    ).select(
+    out_cols = [
         "conv_id",
         F.col("_v.turn_idx").alias("turn_idx"),
         F.lit("shape").alias("check_name"),
         F.col("_v.violation").alias("violation"),
-    )
+    ]
+    if part_col is not None:
+        out_cols.append(F.col("_v.part").alias("part"))
+    return agg.select(
+        "conv_id", F.explode(F.array_compact(slots)).alias("_v")
+    ).select(*out_cols)

@@ -76,6 +76,8 @@ class ValidationRun:
         persist_input: bool = False,
         pending_filtered: bool = False,
         sequence_checks: bool = False,
+        shape_checks: bool = False,
+        shape_kwargs: dict | None = None,
     ) -> RunResult:
         part = day_part()
 
@@ -142,6 +144,23 @@ class ValidationRun:
                     transcripts.withColumn("part", part), passthrough=("part",)
                 ).select(
                     "conv_id", "turn_idx", "part",
+                    F.col("check_name").alias("check"), "violation",
+                )
+            )
+        if shape_checks:
+            # opt-in conversation-LEVEL contracts (opener/closer role,
+            # length bounds): ONE conv-keyed aggregate, endpoint structs
+            # combine map-side (checks/sequence.py). The violation row
+            # carries the ANCHOR turn's partition (a conversation may
+            # span parts; the opener anchors open/too-short rows, the
+            # closer anchors close/too-long rows).
+            from pacts_spark.checks.sequence import conversation_shape_violations
+
+            viol_parts.append(
+                conversation_shape_violations(
+                    transcripts, part_col=part, **(shape_kwargs or {})
+                ).select(
+                    "conv_id", "turn_idx", F.col("part").cast("date").alias("part"),
                     F.col("check_name").alias("check"), "violation",
                 )
             )

@@ -139,3 +139,18 @@ def test_run_sequence_checks_opt_in(spark, engine, transcripts):
     # default-off keeps existing outputs byte-stable
     res_off = ValidationRun(engine).run(spark, transcripts)
     assert res_off.violations.filter(F.col("check") == "sequence").count() == 0
+
+
+def test_run_shape_checks_opt_in(spark, engine, transcripts):
+    res = ValidationRun(engine).run(
+        spark, transcripts, shape_checks=True,
+        shape_kwargs={"close_roles": ("assistant",), "min_turns": 5},
+    )
+    sh = res.violations.filter(F.col("check") == "shape")
+    rows = sh.limit(500).collect()
+    assert rows  # fixture conversations don't all end with assistant
+    assert all(r.violation.startswith("Conversation") for r in rows)
+    assert all(r.part is not None for r in rows)  # anchor part carried
+    # default-off keeps existing outputs byte-stable
+    res_off = ValidationRun(engine).run(spark, transcripts)
+    assert res_off.violations.filter(F.col("check") == "shape").count() == 0
