@@ -356,15 +356,21 @@ WITH f AS (
            AND len(list_filter(embedding, x -> x IS NULL
                  OR isnan(CAST(x AS DOUBLE))
                  OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
-         CAST(list_dot_product(
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-         ) AS BIGINT) AS norm2
+         embedding AS v
   FROM embeddings
 ), g AS (
-  SELECT *, NOT is_null AND NOT bad_dim AND NOT nonfinite AS good FROM f
+  -- norm2 ONLY for good rows: CAST(round(NaN|Inf * 1e6) AS BIGINT) is a
+  -- DuckDB ConversionException, so an unguarded norm2 would CRASH the
+  -- twin on exactly the rows the check exists to count
+  SELECT is_null, bad_dim, nonfinite,
+         NOT is_null AND NOT bad_dim AND NOT nonfinite AS good,
+         CASE WHEN NOT is_null AND NOT bad_dim AND NOT nonfinite THEN
+           CAST(list_dot_product(
+             list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+             list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           ) AS BIGINT)
+         END AS norm2
+  FROM f
 )
 SELECT '__all__' AS part,
        count(*) AS n_rows,

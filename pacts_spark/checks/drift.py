@@ -152,12 +152,14 @@ def anomalous_partitions(
     and re-enter the plan as literals; the flag pass is a pure
     projection. No window-into-one-task, no second shuffle.
     """
-    # integer floor division via the exact-multiple trick: subtract the
-    # remainder BEFORE dividing, so the double division is of an exact
-    # multiple (IEEE-exact; both operands < 2^53)
-    num = F.col(bad_col).cast("long") * F.lit(1000)
-    rate = ((num - num % F.col(n_col)) / F.col(n_col)).cast("long")
-    with_rate = verdicts.withColumn("rate_pm", rate)
+    # true integer division (SQL div — exact for any BIGINT, no 2^53
+    # double-rounding bound on bad*1000)
+    rate = F.expr(f"CAST(`{bad_col}` AS BIGINT) * 1000 div `{n_col}`")
+    # the verdicts frame is typically a whole validation pipeline; both
+    # the stats collect below AND the returned projection consume it —
+    # materialize the partition-granular frame once (round-3 lesson:
+    # localCheckpoint small multiply-referenced frames)
+    with_rate = verdicts.withColumn("rate_pm", rate).localCheckpoint(eager=False)
     stats = with_rate.agg(
         F.count(F.lit(1)).alias("np"),
         F.sum("rate_pm").alias("s"),

@@ -133,7 +133,7 @@ def conversation_shape_violations(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     role_col: str = "role",
-    ts_col: str = "ts",
+    order_tail: tuple[str, ...] = ("text", "tool"),
     open_roles: tuple[str, ...] = ("system", "user"),
     close_roles: tuple[str, ...] = ("assistant",),
     min_turns: int = 1,
@@ -153,7 +153,7 @@ def conversation_shape_violations(
     - "Conversation ends with role 'r'"    (last role ∉ close_roles)
     - "Conversation has N turns (minimum M)" / "(maximum M)"
 
-    First/last = min/max of the struct (turn_idx, role, text, tool) —
+    First/last = min/max of the struct (turn_idx, role, *order_tail) —
     an AGGREGATE, not a window: ONE conv-keyed exchange whose partial
     min/max combine map-side, so a whale conversation contributes one
     struct per mapper instead of one sorted task (cheaper than the
@@ -169,8 +169,10 @@ def conversation_shape_violations(
     key_fields = [
         idx.alias("i"),
         F.coalesce(F.col(role_col), F.lit("")).alias("r"),
-        F.coalesce(F.col("text"), F.lit("")).alias("t"),
-        F.coalesce(F.col("tool"), F.lit("")).alias("o"),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"t{i}")
+            for i, c in enumerate(order_tail)
+        ],
         F.col(role_col).alias("role_raw"),
     ]
     if part_col is not None:

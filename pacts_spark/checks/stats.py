@@ -126,26 +126,33 @@ def vector_column_stats(
     norm2 = F.aggregate(
         qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    g_norm2 = F.when(good, norm2)
-
+    # project to NAMED columns first so the truncation can use true
+    # integer division (SQL `div`): the double-division trick is only
+    # exact below 2^53 micro², which unnormalized vectors exceed
+    pre = df.select(
+        *([] if partition_col is None else [
+            (F.col(partition_col) if isinstance(partition_col, str) else partition_col)
+            .alias("part")
+        ]),
+        is_null.alias("__is_null"),
+        bad_dim.alias("__bad_dim"),
+        nonfinite.alias("__nonfinite"),
+        good.alias("__good"),
+        F.when(good, norm2).alias("__n2"),
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(is_null.cast("long")).alias("n_null"),
-        F.sum(bad_dim.cast("long")).alias("n_bad_dim"),
-        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
-        F.sum((good & (norm2 == F.lit(0))).cast("long")).alias("n_zero"),
-        F.min(g_norm2).alias("min_norm2_micro2"),
-        F.max(g_norm2).alias("max_norm2_micro2"),
-        # subtract the remainder first: the division is then an exact
-        # multiple (no double-rounding anywhere near a floor boundary)
-        F.sum(
-            ((g_norm2 - g_norm2 % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
-        ).alias("sum_norm2_micro"),
+        F.sum(F.col("__is_null").cast("long")).alias("n_null"),
+        F.sum(F.col("__bad_dim").cast("long")).alias("n_bad_dim"),
+        F.sum(F.col("__nonfinite").cast("long")).alias("n_nonfinite"),
+        F.sum((F.col("__good") & (F.col("__n2") == 0)).cast("long")).alias("n_zero"),
+        F.min("__n2").alias("min_norm2_micro2"),
+        F.max("__n2").alias("max_norm2_micro2"),
+        F.sum(F.expr("__n2 div 1000000")).alias("sum_norm2_micro"),
     ]
     if partition_col is None:
-        return df.agg(*aggs).select(F.lit("__all__").alias("part"), "*")
-    pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
-    return df.groupBy(pcol.alias("part")).agg(*aggs)
+        return pre.agg(*aggs).select(F.lit("__all__").alias("part"), "*")
+    return pre.groupBy("part").agg(*aggs)
 
 
 def json_field_type_histogram(
@@ -246,15 +253,16 @@ def infer_payload_schema(hist: DataFrame) -> DataFrame:
             "required"
         ),
     )
-    num = F.coalesce(F.col("__n_modal"), F.lit(0)) * F.lit(1_000_000)
     return (
         totals.join(modal, "field", "left")
         .select(
             "field",
             F.coalesce(F.col("inferred_type"), F.lit("unknown")).alias("inferred_type"),
-            ((num - num % F.col("__n_total")) / F.col("__n_total"))
-            .cast("long")
-            .alias("support_ppm"),
+            # true integer division (SQL div): exact for any BIGINT, no
+            # 2^53 double-rounding bound on n_modal * 1e6
+            F.expr(
+                "coalesce(__n_modal, 0) * 1000000 div __n_total"
+            ).alias("support_ppm"),
             "nullable",
             "required",
         )

@@ -861,7 +861,7 @@ def pq_topk(
         n_chunks,
         n_query_chunks,
     )
-    B = [np.asarray(books[s], dtype=np.int64) for s in range(m)]
+    B = B_fin  # trained books, already materialized for the encode pass
     # per-block partial must carry the whole shortlist so the global
     # ADC top-rerank (a subset of the union of per-block top-Rs) is
     # exact before the re-rank joins

@@ -483,3 +483,35 @@ def test_infer_payload_schema_and_roundtrip_to_compiler(spark, registry, engine)
     registry.put("inferred", "payload", schema)
     out = engine.validate_data(df, "inferred", "payload").collect()
     assert all(r.valid for r in out)  # frame matches its own inferred contract
+
+
+def test_vector_stats_twin_survives_nonfinite_rows(spark, tmp_path):
+    """Regression (code-review finding): the DuckDB twin must not CRASH
+    on the rows the check exists to count — an unguarded
+    CAST(round(NaN*1e6) AS BIGINT) is a ConversionException in DuckDB.
+    Runs the ACTUAL oracle SQL against a poisoned corpus and compares
+    with the Spark operator."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.checks.stats import vector_column_stats
+
+    good = [0.5] * 64
+    nan_row = [float("nan")] + [0.0] * 63
+    inf_row = [float("inf")] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(1, good), (2, nan_row), (3, inf_row), (4, None), (5, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pq = str(tmp_path / "emb.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = con.execute(entrymod.oracle_sql()["vector_stats_embeddings"]).df()
+    got = vector_column_stats(df, expected_dim=64).toPandas()
+    o, g = oracle.iloc[0], got.iloc[0]
+    assert int(o.n_nonfinite) == int(g.n_nonfinite) == 2
+    assert int(o.n_null) == int(g.n_null) == 1
+    assert int(o.n_bad_dim) == int(g.n_bad_dim) == 1
+    assert int(o.min_norm2_micro2) == int(g.min_norm2_micro2)
+    assert int(o.sum_norm2_micro) == int(g.sum_norm2_micro) == 16_000_000
