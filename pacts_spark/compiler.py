@@ -167,6 +167,9 @@ def compile_relational(
     #    the per-field reference validator structurally cannot express.
     #    Both compile to pure Column conjunctions (codegen, no UDF) and
     #    append AFTER the per-property checks in schema insertion order.
+    #    Like enum/pattern above, these are RELATIONAL-mode extensions:
+    #    json-mode validation (json_mode_validator → oracle.validate_data)
+    #    stays a faithful reference port and ignores extension keywords.
     #    4a. JSON Schema 2019-09 `dependentRequired`:
     #        {"trigger": ["dep", ...]} — deps must be present whenever
     #        trigger is present.
