@@ -561,7 +561,7 @@ def _q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = r"""
-SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
 
@@ -685,7 +685,7 @@ def _q_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
 _WINNOW_SQL = r"""
 WITH s AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
   FROM documents
 ),
 g AS (
@@ -722,7 +722,7 @@ def _q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_PAIRS_SQL = r"""
 WITH s AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
   FROM documents
 ),
 g AS (
@@ -766,7 +766,7 @@ def _q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 _REPETITION_SQL = r"""
 WITH s AS (
   SELECT doc_id,
-         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+         lower(regexp_replace(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
   FROM documents
 ),
 w AS (SELECT doc_id, t, length(t) AS nc, string_split(t, ' ') AS ws FROM s),
@@ -839,7 +839,7 @@ def _q_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECONTAM_SQL = r"""
 WITH s AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
   FROM documents
 ),
 g AS (
@@ -1064,7 +1064,7 @@ def _q_global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GLOBAL_SHUFFLE_SQL = """
 SELECT doc_id,
        CAST(row_number() OVER (
-              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+              ORDER BY md5('42:' || COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id
             ) - 1 AS BIGINT) AS shuffle_rank
 FROM documents
 """
@@ -2113,16 +2113,19 @@ def _q_session_windows_native_events(spark: SparkSession, sf_dir: str) -> DataFr
 
 _SESSION_WINDOWS_NATIVE_SQL = """
 WITH o AS (
-  SELECT user_id, ts, epoch_us(ts) AS us,
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 s AS (
+  -- the running-sum window must order IDENTICALLY to the lag window
+  -- (ts, event_id): ordering by ts alone makes sidx nondeterministic on
+  -- tied timestamps and can split a session Spark's session_window merges
   SELECT user_id, us,
          CAST(sum(CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
                        THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
   FROM o
 )

@@ -73,9 +73,16 @@ def asof_join(
     )
     # (ts, src, id): refs sort BEFORE points at equal ts (at-or-before
     # includes the exact tie), and the highest-id ref wins a ref/ref tie.
+    # NULLS LAST pinned on the µs key: Spark defaults nulls-first ASC,
+    # DuckDB nulls-last — an unpinned NULL ts would sort FIRST here (and
+    # never match anything) but LAST in the twin (seeing the final ref).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__us", "__src", F.coalesce("__rid", "__pid"))
+        .orderBy(
+            F.col("__us").asc_nulls_last(),
+            F.col("__src").asc_nulls_last(),
+            F.coalesce("__rid", "__pid").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ref_mark = F.when(

@@ -272,13 +272,21 @@ def _global_token_offsets(
     )
     w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
     rn = F.row_number().over(w)
-    # inclusive running sum minus own tokens = exclusive prefix sum
+    # inclusive running sum minus own tokens = exclusive prefix sum.
+    # NULL-safe: a NULL-text doc keeps n_tokens NULL in the OUTPUT but
+    # contributes 0 to offsets (sum already skips NULLs; an unguarded
+    # `cum - n_tokens` would poison the row's own offset/shard to NULL,
+    # diverging from the twin's COALESCE'd window sum)
     cum = F.sum("n_tokens").over(w)
     return hashed.select(
         F.col(id_col),
         (rank_map[F.col("__b")] + rn - 1).cast("long").alias("shuffle_rank"),
         F.col("n_tokens"),
-        (tok_map[F.col("__b")] + cum - F.col("n_tokens")).alias("__off"),
+        (
+            tok_map[F.col("__b")]
+            + F.coalesce(cum, F.lit(0))
+            - F.coalesce(F.col("n_tokens"), F.lit(0))
+        ).alias("__off"),
     )
 
 
@@ -505,29 +513,41 @@ def domain_cap(
             F.coalesce(F.col(id_col).cast("string"), F.lit("")),
         )
     )
-    hashed = df.withColumn("__h", h).withColumn("__b", F.substring("__h", 1, 2))
-    cnt = hashed.groupBy(stratum_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    # injective NULL-tagged stratum key: a plain equi-join on the raw
+    # stratum silently DROPS every NULL-stratum row (NULL == NULL is
+    # never true), while the groupBy above it keeps them — encode NULL
+    # as "\x00" and value v as "v"+v (prefix-distinct, no collision) so
+    # NULL strata are capped like any other domain
+    sk = F.when(F.col(stratum_col).isNull(), F.lit("\x00")).otherwise(
+        F.concat(F.lit("v"), F.col(stratum_col).cast("string"))
+    )
+    hashed = (
+        df.withColumn("__h", h)
+        .withColumn("__b", F.substring("__h", 1, 2))
+        .withColumn("__sk", sk)
+    )
+    cnt = hashed.groupBy("__sk", "__b").agg(F.count(F.lit(1)).alias("__c"))
     w_off = (
-        Window.partitionBy(stratum_col)
+        Window.partitionBy("__sk")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = cnt.select(
-        stratum_col,
+        "__sk",
         "__b",
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
         "__c",
     )
     # buckets entirely past the cap never ship their rows to the rank join
     offs = offs.filter(F.col("__off") < F.lit(cap))
-    joined = hashed.join(offs, [stratum_col, "__b"])
+    joined = hashed.join(offs, ["__sk", "__b"])
     rn = F.row_number().over(
-        Window.partitionBy(stratum_col, "__b").orderBy(
+        Window.partitionBy("__sk", "__b").orderBy(
             "__h", F.col(id_col).asc_nulls_last()
         )
     )
     return (
         joined.withColumn("__rn", rn)
         .filter(F.col("__off") + F.col("__rn") <= F.lit(cap))
-        .drop("__h", "__b", "__off", "__c", "__rn")
+        .drop("__h", "__b", "__sk", "__off", "__c", "__rn")
     )

@@ -34,7 +34,13 @@ def sessionize(
     within a user: (ts, event_id) — ties on ts cannot flip sessions
     across runs."""
     gap_us = int(gap_seconds) * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    w = Window.partitionBy(user_col).orderBy(
+        # NULLS LAST pinned: Spark defaults nulls-first ASC, DuckDB
+        # nulls-last — an unpinned NULL ts would anchor session 1 in
+        # Spark but join the LAST session in the twin (latent, fixture
+        # has no NULL ts; same rule checks/sequence.py pins)
+        F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(us).over(w)
     is_new = F.when(
@@ -78,7 +84,13 @@ def session_transcripts(
     integer microseconds (cross-engine exact; no timestamp formatting
     in the output path, per the repo's partition-key lesson)."""
     gap_us = int(gap_seconds) * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    w = Window.partitionBy(user_col).orderBy(
+        # NULLS LAST pinned: Spark defaults nulls-first ASC, DuckDB
+        # nulls-last — an unpinned NULL ts would anchor session 1 in
+        # Spark but join the LAST session in the twin (latent, fixture
+        # has no NULL ts; same rule checks/sequence.py pins)
+        F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(us).over(w)
     is_new = F.when(

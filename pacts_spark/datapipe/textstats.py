@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Whitespace-run pattern, explicit class instead of \s: Java \s
+# includes U+000B (vertical tab) but DuckDB RE2 \s does NOT — the
+# explicit class is byte-identical and means the same thing in both
+# dialects (latent cross-engine divergence on real-world text)
+WS_RUN = "[ \\t\\n\\x0B\\f\\r]+"
+
 from pacts_spark.datapipe.util import ensure_scan_parallelism
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic —
@@ -291,7 +297,7 @@ def doc_fingerprint(
     """Content fingerprint: md5 of the whitespace-normalized, lowercased
     text. Regex '\\s+' behaves identically in Spark (Java regex) and DuckDB
     (RE2) for this pattern."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RUN, " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
@@ -350,7 +356,7 @@ def winnowing_fingerprints(
     Output: one row per (doc_id, fingerprint), distinct per doc.
     """
     df = ensure_scan_parallelism(df, id_col)
-    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RUN, " "))
     m = F.length(t) - F.lit(k) + 1  # number of k-grams
     # GUARD m < 1: sequence(1, 0) yields DESCENDING [1, 0] (not empty) in
     # Spark, so unguarded short/empty/NULL texts would emit bogus
@@ -505,7 +511,7 @@ def repetition_stats(
     can cover more chars than the doc has), dup_bigram_frac. Counts are
     BIGINT and fractions round(6) for cross-engine hash parity.
     """
-    t = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    t = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RUN, " "))
     words = F.split(t, " ")
     nw = F.size(words)
     n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(nw)
@@ -602,6 +608,7 @@ def decontamination_hits(
     eval_pct: int = 5,
     k: int = 16,
     w: int = 4,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train/eval DECONTAMINATION: flag training documents that share a
     substring of length >= k + w - 1 characters with any held-out eval
@@ -611,11 +618,15 @@ def decontamination_hits(
     (``md5(id) % 100 < eval_pct`` = eval), so the operator is seedless
     and oracle-reproducible.
 
-    Scale shape: eval benchmark suites are tiny next to a 100 TB corpus,
-    so the eval fingerprint set is BROADCAST — the train side is a pure
-    scan + fingerprint projection feeding a broadcast hash join (text
-    never moves, only (id, fingerprint)); the final groupBy shuffles only
-    the HIT rows. The eval/train split is applied to the DOCUMENT rows
+    Scale shape: a FIXED benchmark suite is tiny next to a 100 TB
+    corpus, so its fingerprint set is BROADCAST by default — the train
+    side is a pure scan + fingerprint projection feeding a broadcast
+    hash join (text never moves, only (id, fingerprint)); the final
+    groupBy shuffles only the HIT rows. CAVEAT: with the built-in
+    hash-split, the eval side is eval_pct% OF THE CORPUS ITSELF and
+    grows linearly with it — at corpus scale pass
+    ``broadcast_eval=False`` (shuffle hash join; AQE picks the strategy)
+    or supply an external benchmark frame instead of the split. The eval/train split is applied to the DOCUMENT rows
     BEFORE winnowing: fingerprinting is a pure per-doc projection, so
     splitting first computes each doc's grams exactly once, whereas
     filtering a shared fingerprint frame on both join sides re-runs the
@@ -634,8 +645,9 @@ def decontamination_hits(
     tr = winnowing_fingerprints(
         df.filter(bucket >= eval_pct), k=k, w=w, text_col=text_col, id_col=id_col
     )
+    ev_side = F.broadcast(ev) if broadcast_eval else ev
     return (
-        tr.join(F.broadcast(ev), "fingerprint")
+        tr.join(ev_side, "fingerprint")
         .groupBy(id_col)
         .agg(
             F.countDistinct("fingerprint").alias("n_shared_fps"),

@@ -74,7 +74,13 @@ class ParquetTableAdapter:
             if not done:
                 return df
             if len(done) <= MAX_STATIC_PRUNE_PARTS:
-                return df.filter(~F.col(part_col).cast("string").isin(done))
+                # NULL-safe: `~isin` is NULL for a NULL partition value
+                # (e.g. __HIVE_DEFAULT_PARTITION__ → NULL after cast),
+                # which would silently drop those rows from a resumed
+                # scan while the anti-join branch keeps them — keep NULL
+                # partitions pending in both branches
+                pc = F.col(part_col).cast("string")
+                return df.filter(pc.isNull() | ~pc.isin(done))
             return df.join(
                 F.broadcast(done_df.withColumnRenamed("part", "__done")),
                 df[part_col].cast("string") == F.col("__done"),

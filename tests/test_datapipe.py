@@ -1322,3 +1322,87 @@ def test_pq_topk_small_corpus_and_empty(spark):
     out = {r.vec_id: r.nn_id for r in pq_topk(df, k=1, m=2, k_codes=16).collect()}
     assert out[1] == 2 and out[2] == 1
     assert pq_topk(df.filter(F.lit(False)), k=1, m=2, k_codes=4).count() == 0
+
+
+def test_domain_cap_null_stratum_capped_not_dropped(spark):
+    """Regression (code-review finding): a plain equi-join on the raw
+    stratum silently DROPPED every NULL-stratum row; they must be capped
+    like any other domain (and '' must stay a distinct stratum)."""
+    from pacts_spark.datapipe.sampling import domain_cap
+
+    rows = (
+        [(i, None) for i in range(20)]
+        + [(100 + i, "a") for i in range(20)]
+        + [(200 + i, "") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, cap=5, stratum_col="source", id_col="doc_id").collect()
+    by: dict = {}
+    for r in out:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by[None]) == 5          # capped, not dropped
+    assert len(by["a"]) == 5
+    assert len(by[""]) == 3            # '' is NOT conflated with NULL
+
+
+def test_shard_assign_null_text_contributes_zero(spark):
+    """Regression: a NULL-text doc keeps n_tokens NULL but gets a
+    CONCRETE shard (contributes 0 tokens), matching the SQL twin's
+    COALESCE'd window sum."""
+    from pacts_spark.datapipe.sampling import shard_assign
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in shard_assign(df, budget_tokens=4).collect()}
+    assert out[2].n_tokens is None and out[2].shard_id is not None
+    assert sorted(r.shuffle_rank for r in out.values()) == [0, 1, 2]
+    # token budget math unaffected: 5 real tokens over budget 4 -> 2 shards
+    assert {r.shard_id for r in out.values()} <= {0, 1}
+
+
+def test_sessionize_null_ts_sorts_last(spark):
+    """Regression: NULL ts must sort LAST (the DuckDB default the twins
+    inherit), not Spark's nulls-first — a NULL-ts event joins the FINAL
+    session instead of anchoring session 1."""
+    from pacts_spark.datapipe.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 7, "2025-01-01 00:00:00"), (2, 7, "2025-01-01 02:00:00"), (3, 7, None)],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=1800).collect()}
+    assert got[1] == 1 and got[2] == 2
+    assert got[3] == got[2]  # NULL ts rides the LAST session, never the first
+
+
+def test_native_session_twin_tie_at_boundary(spark, tmp_path):
+    """Regression: tied timestamps at a session boundary — the twin's
+    running-sum window now orders by (ts, event_id) like its lag window,
+    so Spark's session_window and the DuckDB replay agree."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.datapipe.sessions import native_session_windows
+
+    rows = [
+        (1, 5, "2025-01-01 00:00:00"),
+        (2, 5, "2025-01-01 00:15:01"),   # gap 901s > 900 -> new session
+        (3, 5, "2025-01-01 00:15:01"),   # TIED ts with e2 -> same session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    pq = str(tmp_path / "ev.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = sorted(
+        con.execute(entrymod.oracle_sql()["session_windows_native_events"]).fetchall()
+    )
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in native_session_windows(df, gap_seconds=900).collect()
+    )
+    assert got == [tuple(r) for r in oracle]
+    assert [g[3] for g in got] == [1, 2]  # sessions {e1}, {e2,e3}
