@@ -235,18 +235,31 @@ dups AS (
   GROUP BY conv_id, turn_idx HAVING count(*) > 1
 )
 SELECT conv_id, turn_idx, 'schema' AS check_name,
-       'Required field missing: text' AS violation
+       'Required field missing: conv_id' AS violation
+FROM t WHERE conv_id IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'schema', 'Required field missing: turn_idx'
+FROM t WHERE turn_idx IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'schema', 'Required field missing: role'
+FROM t WHERE role IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'schema', 'Required field missing: text'
 FROM t WHERE text IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'schema', 'Required field missing: ts'
+FROM t WHERE ts IS NULL
 UNION ALL
 SELECT t.conv_id, t.turn_idx, 'uniqueness',
        'Duplicate key: (conv_id=' || t.conv_id || ', turn_idx=' ||
        CAST(t.turn_idx AS VARCHAR) || ') appears ' ||
        CAST(d.cnt AS VARCHAR) || ' times'
-FROM t JOIN dups d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+FROM t JOIN dups d ON t.conv_id IS NOT DISTINCT FROM d.conv_id
+                  AND t.turn_idx IS NOT DISTINCT FROM d.turn_idx
 UNION ALL
 SELECT conv_id, turn_idx, 'referential_conv',
        'Referential violation: conv_id=' || conv_id || ' not in dimension'
-FROM t WHERE conv_id NOT IN (SELECT conv_id FROM convs)
+FROM t WHERE conv_id NOT IN (SELECT conv_id FROM convs WHERE conv_id IS NOT NULL)
 UNION ALL
 SELECT conv_id, turn_idx, 'referential_tool',
        'Referential violation: tool=' || tool || ' not in dimension'
@@ -277,18 +290,28 @@ dups AS (
 checks AS (
   SELECT part, count(*) AS n_check FROM (
     SELECT tp.part FROM tp JOIN dups d
-      ON tp.conv_id = d.conv_id AND tp.turn_idx = d.turn_idx
+      ON tp.conv_id IS NOT DISTINCT FROM d.conv_id
+     AND tp.turn_idx IS NOT DISTINCT FROM d.turn_idx
     UNION ALL
-    SELECT part FROM tp WHERE conv_id NOT IN (SELECT conv_id FROM convs)
+    SELECT part FROM tp WHERE conv_id NOT IN (SELECT conv_id FROM convs WHERE conv_id IS NOT NULL)
     UNION ALL
     SELECT part FROM tp WHERE tool IS NOT NULL AND tool NOT IN {TOOLS_IN}
   ) GROUP BY part
 ),
 rowv AS (
+  -- ALL of turn-schema's required fields, not just text: a NULL
+  -- user_id/ts in events makes Spark emit conv_id/ts required errors
+  -- the text-only reduction would miss (n_schema_viol counts ERROR
+  -- STRINGS, n_invalid_rows counts rows with any)
   SELECT part,
          count(*) AS n_rows,
-         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_invalid_rows,
-         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_schema_viol
+         sum(CASE WHEN conv_id IS NULL OR turn_idx IS NULL OR role IS NULL
+                       OR text IS NULL OR ts IS NULL THEN 1 ELSE 0 END) AS n_invalid_rows,
+         sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN role IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN text IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_schema_viol
   FROM tp GROUP BY part
 )
 SELECT r.part,
@@ -361,14 +384,17 @@ WITH f AS (
 ), g AS (
   -- norm2 ONLY for good rows: CAST(round(NaN|Inf * 1e6) AS BIGINT) is a
   -- DuckDB ConversionException, so an unguarded norm2 would CRASH the
-  -- twin on exactly the rows the check exists to count
+  -- twin on exactly the rows the check exists to count. list_sum of
+  -- BIGINT squares, NOT list_dot_product: DuckDB evaluates dot products
+  -- in DOUBLE (loses exactness above 2^53 micro²), while Spark's BIGINT
+  -- fold is exact — the health check's remit includes huge vectors.
   SELECT is_null, bad_dim, nonfinite,
          NOT is_null AND NOT bad_dim AND NOT nonfinite AS good,
          CASE WHEN NOT is_null AND NOT bad_dim AND NOT nonfinite THEN
-           CAST(list_dot_product(
-             list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
-             list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-           ) AS BIGINT)
+           CAST(list_sum(list_transform(v,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           )) AS BIGINT)
          END AS norm2
   FROM f
 )
@@ -430,12 +456,18 @@ tot AS (
   FROM j GROUP BY part
 )
 SELECT j.part,
-       round(sum(((j.n + 1.0) / (t2.tot_n + t2.n_cats)) *
+       -- ordered left fold (list_reduce over list ORDER BY category),
+       -- matching the engine's deterministic category-order summation
+       round(list_reduce(list(
+                 ((j.n + 1.0) / (t2.tot_n + t2.n_cats)) *
                  ln(((j.n + 1.0) / (t2.tot_n + t2.n_cats)) /
-                    ((j.m + 1.0) / (t2.tot_m + t2.n_cats)))), 6) AS kl_divergence,
-       round(sum((j.n - ((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n) *
+                    ((j.m + 1.0) / (t2.tot_m + t2.n_cats)))
+             ORDER BY j.category), (a, b) -> a + b), 6) AS kl_divergence,
+       round(list_reduce(list(
+                 (j.n - ((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n) *
                  (j.n - ((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n) /
-                 (((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n)), 6) AS chi_squared,
+                 (((j.m + 1.0) / (t2.tot_m + t2.n_cats)) * t2.tot_n)
+             ORDER BY j.category), (a, b) -> a + b), 6) AS chi_squared,
        max(t2.n_cats) AS n_categories
 FROM j JOIN tot t2 ON j.part = t2.part
 GROUP BY j.part
@@ -540,7 +572,9 @@ SELECT o_orderkey, o_custkey,
        ' not in dimension' AS violation
 FROM orders
 WHERE o_custkey IS NOT NULL
-  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+  -- IS NOT NULL guard on the dim side: one NULL c_custkey would make
+  -- NOT IN return zero rows while the Spark anti-join keeps all orphans
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
 """
 
 
@@ -1346,17 +1380,31 @@ def _q_validate_transcripts_strict(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _VALIDATE_STRICT_SQL = f"""
-WITH t AS ({TRANSCRIPTS_SQL})
-SELECT conv_id, turn_idx,
-       (text IS NOT NULL AND role IN ('system', 'user', 'assistant')) AS valid,
-       CASE WHEN text IS NOT NULL AND role IN ('system', 'user', 'assistant')
-            THEN 'Validation successful'
+WITH t AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT conv_id, turn_idx,
+         (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND text IS NOT NULL AND ts IS NOT NULL
+          AND NOT (conv_id IS NOT NULL AND NOT regexp_matches(conv_id, 'conv-\\d+'))
+          AND NOT (role IS NOT NULL
+                   AND role NOT IN ('system', 'user', 'assistant'))) AS ok,
+         conv_id AS c, turn_idx AS i, role AS r, text AS x, ts AS s
+  FROM t
+)
+SELECT conv_id, turn_idx, ok AS valid,
+       CASE WHEN ok THEN 'Validation successful'
             ELSE concat_ws('; ',
-              CASE WHEN text IS NULL THEN 'Required field missing: text' END,
-              CASE WHEN role IS NOT NULL AND role NOT IN ('system', 'user', 'assistant')
+              CASE WHEN c IS NULL THEN 'Required field missing: conv_id' END,
+              CASE WHEN i IS NULL THEN 'Required field missing: turn_idx' END,
+              CASE WHEN r IS NULL THEN 'Required field missing: role' END,
+              CASE WHEN x IS NULL THEN 'Required field missing: text' END,
+              CASE WHEN s IS NULL THEN 'Required field missing: ts' END,
+              CASE WHEN c IS NOT NULL AND NOT regexp_matches(c, 'conv-\\d+')
+                   THEN 'Invalid format for field ''conv_id''. Expected pattern: conv-\\d+' END,
+              CASE WHEN r IS NOT NULL AND r NOT IN ('system', 'user', 'assistant')
                    THEN 'Invalid value for field ''role''. Expected one of: system, user, assistant' END)
        END AS error_message
-FROM t
+FROM v
 """
 
 
@@ -1594,17 +1642,23 @@ def _q_schema_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCHEMA_DIFF_SQL = f"""
-WITH t AS ({TRANSCRIPTS_SQL})
-SELECT CAST(ts AS DATE) AS part,
-       CAST(sum(CASE WHEN text IS NOT NULL
-                 AND NOT (role IN ('system', 'user', 'assistant'))
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_break_on_upgrade,
-       CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v1,
-       CAST(sum(CASE WHEN text IS NOT NULL
-                 AND role IN ('system', 'user', 'assistant')
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v2,
+WITH t AS ({TRANSCRIPTS_SQL}),
+v AS (
+  SELECT CAST(ts AS DATE) AS part,
+         (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND text IS NOT NULL AND ts IS NOT NULL) AS v1,
+         (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND text IS NOT NULL AND ts IS NOT NULL
+          AND (conv_id IS NULL OR regexp_matches(conv_id, 'conv-\\d+'))
+          AND (role IS NULL OR role IN ('system', 'user', 'assistant'))) AS v2
+  FROM t
+)
+SELECT part,
+       CAST(sum(CASE WHEN v1 AND NOT v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_break_on_upgrade,
+       CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v1,
+       CAST(sum(CASE WHEN v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_v2,
        count(*) AS n_rows
-FROM t GROUP BY 1
+FROM v GROUP BY 1
 """
 
 
@@ -1926,7 +1980,10 @@ def _q_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOWED_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL})
-SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_epoch,
+-- date_trunc, not //: DuckDB // truncates toward zero, so a pre-1970
+-- (negative-µs) timestamp would land in the wrong hour bucket vs
+-- Spark's window(), which floors; calendar truncation floors always
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
        (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS pass,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
        count(*) AS n_rows
@@ -2801,8 +2858,11 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completion protocol (availableNow, maxFilesPerTrigger=1, mtime-ordered
     files):
     - file 1: ALL real transcript turns in ONE parquet file → one
-      micro-batch, so the in-batch (turn_idx, ts)-sorted regression count
-      is exactly ``count(*) - count(DISTINCT turn_idx)`` — SQL-expressible;
+      micro-batch; the operator counts turns whose turn_idx fails to
+      exceed the running max in EVENT-TIME order (chunking-invariant),
+      which the twin replays as a (ts, turn_idx)-ordered window — and
+      since any chunking that respects arrival time gives the same
+      count, the one-file staging is a convenience, not a semantic crutch;
     - file 2: a sentinel turn 100 days ahead → its batch END advances the
       event-time watermark past every real conversation's last_ts + ttl;
     - file 3: a second sentinel one hour later → its batch STARTS with the
@@ -2920,13 +2980,21 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONV_STATE_FINALS_SQL = f"""
-WITH t AS ({TRANSCRIPTS_SQL})
+WITH t AS ({TRANSCRIPTS_SQL}),
+r AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx <= max(turn_idx) OVER (
+                PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_reg
+  FROM t
+)
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
-       CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_regressed,
-       (count(*) = count(DISTINCT turn_idx)) AS monotonic
-FROM t GROUP BY conv_id
+       CAST(sum(is_reg) AS BIGINT) AS n_regressed,
+       (sum(is_reg) = 0) AS monotonic
+FROM r GROUP BY conv_id
 """
 
 
@@ -3294,9 +3362,18 @@ def oracle_sql() -> dict[str, str]:
         "validate_transcripts": f"""
 WITH t AS ({t})
 SELECT conv_id, turn_idx,
-       text IS NOT NULL AS valid,
-       CASE WHEN text IS NULL THEN 'Required field missing: text'
-            ELSE 'Validation successful' END AS error_message
+       (conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+        AND text IS NOT NULL AND ts IS NOT NULL) AS valid,
+       CASE WHEN conv_id IS NOT NULL AND turn_idx IS NOT NULL AND role IS NOT NULL
+                 AND text IS NOT NULL AND ts IS NOT NULL
+            THEN 'Validation successful'
+            ELSE concat_ws('; ',
+              CASE WHEN conv_id IS NULL THEN 'Required field missing: conv_id' END,
+              CASE WHEN turn_idx IS NULL THEN 'Required field missing: turn_idx' END,
+              CASE WHEN role IS NULL THEN 'Required field missing: role' END,
+              CASE WHEN text IS NULL THEN 'Required field missing: text' END,
+              CASE WHEN ts IS NULL THEN 'Required field missing: ts' END)
+       END AS error_message
 FROM t
 """,
         "transcript_violations": _VIOLATIONS_SQL,

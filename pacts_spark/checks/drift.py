@@ -73,11 +73,28 @@ def drift_scores(current: DataFrame, baseline: DataFrame) -> DataFrame:
     expected = q * F.col("tot_n")
     kl_term = p * F.log(p / q)
     chi_term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+
+    def _ordered_sum(term):
+        # DETERMINISTIC left fold in category order: a bare F.sum adds
+        # doubles in shuffle-arrival order, so the last ulp — and, at a
+        # 0.5e-6 boundary, the round-6 output — could differ between
+        # runs and engines (the CLAUDE.md round-6 boundary risk). The
+        # category set per part is histogram-sized, so the collect_list
+        # is bounded. The SQL twin folds list(term ORDER BY category)
+        # via list_reduce; the pandas twin iterates sorted(cats).
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("category").alias("c"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("t"),
+        )
+
     return (
         j2.groupBy("part")
         .agg(
-            F.round(F.sum(kl_term), 6).alias("kl_divergence"),
-            F.round(F.sum(chi_term), 6).alias("chi_squared"),
+            F.round(_ordered_sum(kl_term), 6).alias("kl_divergence"),
+            F.round(_ordered_sum(chi_term), 6).alias("chi_squared"),
             F.max("n_cats").alias("n_categories"),
         )
         .orderBy("part")

@@ -28,7 +28,11 @@ def ts_gaps(
 ) -> DataFrame:
     """Per-turn gap (seconds) to the previous turn of the same conversation;
     first turn of each conversation has NULL gap."""
-    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    w = Window.partitionBy(conv_col).orderBy(
+        # NULLS LAST pinned (Spark defaults nulls-first, DuckDB twin
+        # nulls-last — unpinned NULL keys shift every lag)
+        F.col(order_col).asc_nulls_last(), F.col(ts_col).asc_nulls_last()
+    )
     prev = F.lag(F.col(ts_col)).over(w)
     # cast-to-double keeps sub-second precision (unix_timestamp truncates);
     # NTZ → TIMESTAMP first (session tz is UTC, so the epoch matches
@@ -182,7 +186,11 @@ def gap_quantiles_discrete(
     the exact verifier.
     """
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    w = Window.partitionBy(conv_col).orderBy(
+        # NULLS LAST pinned (Spark defaults nulls-first, DuckDB twin
+        # nulls-last — unpinned NULL keys shift every lag)
+        F.col(order_col).asc_nulls_last(), F.col(ts_col).asc_nulls_last()
+    )
     gaps = df.withColumn(
         "gap_us", us(F.col(ts_col)) - F.lag(us(F.col(ts_col))).over(w)
     ).filter(F.col("gap_us").isNotNull())

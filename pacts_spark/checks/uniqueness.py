@@ -119,7 +119,20 @@ def uniqueness_violations(
         dups = duplicate_keys(df, keys, salt_col=salt_col, salt_buckets=salt_buckets)
     if broadcast_dups:
         dups = F.broadcast(dups)
-    joined = df.join(dups, on=keys, how="inner")
+    # null-SAFE join-back: a duplicated key containing NULL (e.g. two
+    # rows with conv_id NULL, turn_idx 1) is counted by duplicate_keys
+    # (groupBy keeps the NULL group) but a plain equi-join would drop its
+    # violation rows — <=> keeps them (still a hash-join key in Spark)
+    dups_r = dups.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys], "dup_count"
+    )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = df.join(dups_r, on=cond, how="inner").drop(
+        *[f"__dk_{k}" for k in keys]
+    )
     msg = F.concat(
         F.lit("Duplicate key: ("),
         F.concat_ws(

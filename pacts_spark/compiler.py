@@ -212,14 +212,18 @@ def compile_relational(
 
 def _regex_match_udf(pattern: str):
     """Vectorized regex probe: Python ``re`` semantics over Arrow batches
-    (north_star: regex checks as pandas UDFs, never per-row Python UDFs)."""
+    (north_star: regex checks as pandas UDFs, never per-row Python UDFs).
+    UNANCHORED search (str.contains / re.search), matching JSON Schema's
+    ``pattern`` keyword semantics — authors anchor explicitly with ^/$.
+    (str.match would silently prefix-anchor, so '\\d+$' — legal JSON
+    Schema — would behave unlike every standard validator.)"""
     import re
 
     rx = re.compile(pattern)
 
     @pandas_udf(T.BooleanType())
     def _match(s: pd.Series) -> pd.Series:
-        return s.str.match(rx).fillna(False).astype(bool)
+        return s.str.contains(rx).fillna(False).astype(bool)
 
     return _match
 

@@ -279,12 +279,16 @@ class ValidationRun:
         written = spark.read.parquet(vio_path)
         vio_counts = written.groupBy("part").agg(
             F.count(F.lit(1)).alias("n_violations"),
-            F.count_distinct(
-                F.when(F.col("check") == "schema", F.struct("conv_id", "turn_idx"))
-            ).alias("n_invalid_rows"),
         )
-        row_counts = transcripts.groupBy(part.alias("part")).agg(
-            F.count(F.lit(1)).alias("n_rows")
+        # n_invalid_rows comes from the VALIDATED frame (same fused
+        # projection run() aggregates), not from the written violation
+        # rows: distinct-(conv_id,turn_idx) over exploded rows undercounts
+        # when duplicate-key rows each carry schema errors, and a
+        # violation-free partition must read 0, not NULL
+        validated = self.engine.validate_data(transcripts, self.category, self.name)
+        row_counts = validated.groupBy(part.alias("part")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid_rows"),
         )
         verdicts = (
             row_counts.join(vio_counts, "part", "left")

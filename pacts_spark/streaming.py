@@ -118,7 +118,12 @@ def conversation_state_verdicts(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["turn_idx", ts_col], kind="mergesort")
+            # EVENT-TIME order (ts, turn_idx), not turn order: sorting by
+            # turn_idx made in-batch out-of-order turns invisible, so the
+            # same stream chunked differently gave different n_regressed
+            # (batch-boundary nondeterminism). In ts order the count is
+            # invariant to any chunking that respects arrival time.
+            pdf = pdf.sort_values([ts_col, "turn_idx"], kind="mergesort")
             t = pdf["turn_idx"].to_numpy()
             # running max BEFORE each element, seeded with the cross-batch
             # max — all vectorized (a per-row list comp here cost ~10 s per

@@ -50,7 +50,12 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     - duplicate ``turn_idx`` where ``event_id % 97 = 0`` → uniqueness check
     - ``tool`` ids mod 7 vs a 5-tool dim               → referential check
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST pinned: Spark defaults nulls-first ASC, DuckDB (the twin)
+    # nulls-last — an unpinned NULL ts/event_id would get turn_idx 1 here
+    # and turn_idx n in TRANSCRIPTS_SQL, poisoning every downstream oracle
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     rn = F.row_number().over(w)
     return events.select(
         F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),

@@ -276,3 +276,54 @@ def test_windowed_verdicts_drops_late_data_past_watermark(spark, engine, tmp_pat
     # the 00:00 window was finalized exactly once, still with 2 rows/pass
     assert len(rows_h0) == 1
     assert rows_h0[0].n_rows == 2 and rows_h0[0]["pass"]
+
+
+def test_stateful_regression_count_is_chunking_invariant(spark, tmp_path):
+    """Regression (code-review finding): an in-batch out-of-order pair
+    must count exactly like the same pair split across batches — the
+    operator orders by EVENT TIME, so micro-batch boundaries can't
+    change n_regressed."""
+    import json
+
+    from pacts_spark.streaming import conversation_state_verdicts
+
+    for variant, batches in {
+        "one": [[("c1", 5, 0), ("c1", 3, 1)]],
+        "two": [[("c1", 5, 0)], [("c1", 3, 1)]],
+    }.items():
+        src = tmp_path / f"src_{variant}"
+        out = tmp_path / f"out_{variant}"
+        ckpt = tmp_path / f"ckpt_{variant}"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            (src / f"b{i}.json").write_text(
+                "\n".join(
+                    json.dumps(
+                        {"conv_id": c, "turn_idx": t, "ts": f"2026-01-01 00:0{m}:00"}
+                    )
+                    for c, t, m in rows
+                )
+            )
+            stream = spark.readStream.schema(
+                "conv_id string, turn_idx int, ts timestamp"
+            ).json(str(src))
+
+            def sink(batch, batch_id):
+                batch.write.mode("append").parquet(str(out))
+
+            q = (
+                conversation_state_verdicts(stream, watermark="2 hours", ttl_ms=7200000)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        rows = [
+            r
+            for r in spark.read.parquet(str(out)).collect()
+            if r.conv_id == "c1" and r.n_turns == 2
+        ]
+        assert rows, variant
+        assert all(r.n_regressed == 1 for r in rows), (variant, rows)
