@@ -1455,6 +1455,51 @@ SELECT conv_id, turn_idx, 'shape' AS check_name, violation FROM u
 """
 
 
+def _q_centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift (checks/drift.
+    embedding_centroid_drift): exact integer micro/milli math — per-dim
+    BIGINT sums with map-side combine, truncating-division centroids
+    identical in both engines, integer cos² threshold inequality. The
+    vector analogue of drift_scores; flags an embedding-model change or
+    poisoned source before any scalar stat moves."""
+    from pacts_spark.checks.drift import embedding_centroid_drift
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("source").alias("part"), "embedding"
+    )
+    return embedding_centroid_drift(joined, part_col="part", min_cos_ppm=200_000)
+
+
+def _centroid_drift_sql(min_cos_ppm: int = 200_000) -> str:
+    t = (min_cos_ppm * min_cos_ppm) // 1_000_000
+    return f"""
+WITH e AS (
+  SELECT d.source AS part,
+         list_transform(e.embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+x AS (SELECT part, r.i AS pos, q[CAST(r.i AS INT)] AS val FROM e, range(1, 65) r(i)),
+ps AS (SELECT part, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n FROM x GROUP BY 1, 2),
+pc AS (SELECT part, pos, (s // n) // 1000 AS c, n FROM ps),
+gs AS (SELECT pos, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n FROM ps GROUP BY 1),
+gc AS (SELECT pos, (s // n) // 1000 AS g FROM gs),
+agg AS (
+  SELECT part, CAST(max(n) AS BIGINT) AS n_vecs,
+         CAST(sum(c * g) AS BIGINT) AS dot,
+         CAST(sum(c * c) AS BIGINT) AS norm2_part,
+         CAST(sum(g * g) AS BIGINT) AS norm2_global
+  FROM pc JOIN gc USING (pos) GROUP BY part
+)
+SELECT part, n_vecs, dot, norm2_part, norm2_global,
+       (dot <= 0 OR dot * dot < (({t} * norm2_part) // 1000000) * norm2_global)
+         AS drifted
+FROM agg
+"""
+
+
 def _q_json_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload schema-drift detection (checks/stats.
     json_field_type_histogram): observed-JSON-type histogram per field,
@@ -3283,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_type_histogram_transcripts": _q_json_type_histogram,
         "conversation_shape_transcripts": _q_conversation_shape,
         "inferred_schema_transcripts": _q_inferred_schema,
+        "centroid_drift_embeddings": _q_centroid_drift_embeddings,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3427,6 +3473,7 @@ FROM t
         "json_type_histogram_transcripts": _JSON_TYPES_SQL,
         "conversation_shape_transcripts": _CONV_SHAPE_SQL,
         "inferred_schema_transcripts": _inferred_schema_sql(),
+        "centroid_drift_embeddings": _centroid_drift_sql(),
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

@@ -92,6 +92,7 @@ HEADLINE = [
     "json_type_histogram_transcripts",
     "conversation_shape_transcripts",
     "inferred_schema_transcripts",
+    "centroid_drift_embeddings",
 ]
 
 

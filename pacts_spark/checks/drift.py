@@ -195,3 +195,65 @@ def anomalous_partitions(
         F.col(part_col), F.col(n_col), F.col(bad_col), "rate_pm",
         (dev * dev > thr).alias("anomalous"),
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    part_col: str = "part",
+    vec_col: str = "embedding",
+    min_cos_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-partition embedding-centroid drift vs the corpus centroid —
+    the vector analogue of :func:`drift_scores`: an embedding-model
+    version change, a poisoned source, or a language shift moves a
+    partition's mean vector long before any scalar stat notices.
+
+    EXACT integer math end to end (no float mean/cosine): elements
+    quantize to micro BIGINTs; per-(partition, dim) sums aggregate with
+    map-side combine (shuffle = one partial row per mapper×part×dim,
+    never vectors); centroids are (sum div n) div 1000 — MILLI units,
+    so every cross-term below stays < 2^63 (document: at 10^12 rows ×
+    |x|≤1 the per-dim sum is ≤ 1e18, still in range). The global
+    centroid reuses the per-part sums (no second scan). The drift flag
+    replays cos²(part, global) < (min_cos_ppm/1e6)² as the pure-integer
+    inequality
+
+        dot ≤ 0  OR  dot² < ((T·norm2_part) div 1e6) · norm2_global,
+        T = min_cos_ppm² div 1e6
+
+    — both engines truncate integer division toward zero (Spark ``div``,
+    DuckDB ``//``), so the threshold quantization is bit-identical.
+
+    Returns (part, n_vecs, dot, norm2_part, norm2_global, drifted) —
+    BIGINTs + boolean, hash-stable.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
+    )
+    ex = df.select(F.col(part_col).alias("part"), F.posexplode(q).alias("pos", "val"))
+    ps = ex.groupBy("part", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    pc = ps.select("part", "pos", F.expr("(s div n) div 1000").alias("c"), "n")
+    gs = ps.groupBy("pos").agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    gc = gs.select("pos", F.expr("(s div n) div 1000").alias("g"))
+    t = (int(min_cos_ppm) * int(min_cos_ppm)) // 1_000_000
+    agg = (
+        pc.join(F.broadcast(gc), "pos")
+        .groupBy("part")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("c") * F.col("g")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("norm2_part"),
+            F.sum(F.col("g") * F.col("g")).alias("norm2_global"),
+        )
+    )
+    drifted = (F.col("dot") <= 0) | (
+        F.col("dot") * F.col("dot")
+        < F.expr(f"(({t} * norm2_part) div 1000000) * norm2_global")
+    )
+    return agg.select(
+        "part", "n_vecs", "dot", "norm2_part", "norm2_global",
+        drifted.alias("drifted"),
+    )

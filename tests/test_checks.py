@@ -515,3 +515,26 @@ def test_vector_stats_twin_survives_nonfinite_rows(spark, tmp_path):
     assert int(o.n_bad_dim) == int(g.n_bad_dim) == 1
     assert int(o.min_norm2_micro2) == int(g.min_norm2_micro2)
     assert int(o.sum_norm2_micro) == int(g.sum_norm2_micro) == 16_000_000
+
+
+def test_embedding_centroid_drift_known_answer(spark):
+    """Spiked partition drifts, aligned partitions don't; negative-sum
+    dims exercise the toward-zero truncation both engines share."""
+    from pacts_spark.checks.drift import embedding_centroid_drift
+
+    aligned = [1.0, 0.5, -0.25, 0.0]
+    rows = (
+        [("a", aligned)] * 4
+        + [("b", [0.9, 0.55, -0.2, 0.05])] * 4     # near-aligned
+        + [("c", [-1.0, -0.5, 0.25, 0.0])] * 4     # anti-aligned -> dot < 0
+    )
+    df = spark.createDataFrame(rows, "part string, embedding array<double>")
+    got = {r.part: r for r in embedding_centroid_drift(df, min_cos_ppm=900_000).collect()}
+    assert not got["a"].drifted and not got["b"].drifted
+    assert got["c"].drifted and got["c"].dot <= 0
+    assert got["a"].n_vecs == 4
+    # exact integer pipeline: micro-quantized aligned vector, milli centroid
+    # global centroid: per-dim mean of all 12 rows
+    assert got["a"].norm2_part == 1000**2 + 500**2 + 250**2  # milli units
+    # empty input: empty output, stable schema
+    assert embedding_centroid_drift(df.filter(F.lit(False))).count() == 0
