@@ -1455,6 +1455,40 @@ SELECT conv_id, turn_idx, 'shape' AS check_name, violation FROM u
 """
 
 
+def _q_vocab_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training round (textstats.
+    vocab_merge_candidates): corpus-wide adjacent piece-pair counts,
+    top-50 merge candidates under a pinned (count DESC, pair ASC) total
+    order — vocabulary-bounded shuffle, TakeOrdered cut, one scan."""
+    from pacts_spark.datapipe.textstats import vocab_merge_candidates
+
+    return vocab_merge_candidates(_load(spark, sf_dir, "documents"), top_k=50)
+
+
+def _vocab_merges_sql(top_k: int = 50) -> str:
+    from pacts_spark.datapipe.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH p AS (
+  SELECT regexp_extract_all(text, '{pat}') AS ps FROM documents
+),
+pr AS (
+  -- adjacent pairs via zipped slices (DuckDB 1.0's range() cannot take
+  -- lateral column bounds); numeric struct indexes — list_zip structs
+  -- are unnamed
+  SELECT z[1] AS piece_a, z[2] AS piece_b FROM (
+    SELECT unnest(list_zip(ps[1:len(ps) - 1], ps[2:len(ps)])) AS z
+    FROM p WHERE len(ps) >= 2
+  )
+)
+SELECT piece_a, piece_b, CAST(count(*) AS BIGINT) AS n
+FROM pr GROUP BY 1, 2
+ORDER BY n DESC, piece_a, piece_b
+LIMIT {int(top_k)}
+"""
+
+
 def _q_centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding-centroid drift (checks/drift.
     embedding_centroid_drift): exact integer micro/milli math — per-dim
@@ -3329,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_shape_transcripts": _q_conversation_shape,
         "inferred_schema_transcripts": _q_inferred_schema,
         "centroid_drift_embeddings": _q_centroid_drift_embeddings,
+        "vocab_merges_documents": _q_vocab_merges_documents,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3474,6 +3509,7 @@ FROM t
         "conversation_shape_transcripts": _CONV_SHAPE_SQL,
         "inferred_schema_transcripts": _inferred_schema_sql(),
         "centroid_drift_embeddings": _centroid_drift_sql(),
+        "vocab_merges_documents": _vocab_merges_sql(50),
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

@@ -93,6 +93,7 @@ HEADLINE = [
     "conversation_shape_transcripts",
     "inferred_schema_transcripts",
     "centroid_drift_embeddings",
+    "vocab_merges_documents",
 ]
 
 

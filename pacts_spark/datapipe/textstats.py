@@ -307,7 +307,11 @@ def doc_fingerprint(
 # in Java regex (Spark) and RE2 (DuckDB): no lookaround, no unicode
 # classes, non-overlapping alternatives (leftmost-first == leftmost-longest
 # here), so the piece count is cross-engine exact.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9\s']+"
+# explicit whitespace chars instead of \s inside the negated class: Java
+# \s includes U+000B (vertical tab), RE2 \s does not — with \s a VT would
+# join a punctuation piece in DuckDB but not in Spark (same divergence
+# WS_RUN fixes; the twin injects this exact constant, so one source)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r']+"
 
 
 def token_pieces(
@@ -826,3 +830,37 @@ SELECT bg.{id_col}, CAST(len(bg.grams) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(s.lpsum, 0) AS BIGINT) AS interp_micronats
 FROM bg LEFT JOIN sums s USING ({id_col})
 """
+
+
+def vocab_merge_candidates(
+    df: DataFrame, top_k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One BPE tokenizer-training round: corpus-wide counts of ADJACENT
+    token-piece pairs (the merge candidates), top-``top_k`` by count —
+    the statistic a byte-pair-encoding trainer greedily merges. Pieces
+    come from the same cross-engine-safe BPE_ISH_PATTERN the counting
+    path uses, so "observed merges" and "token counts" agree.
+
+    Scale shape: ONE scan; pieces stay an in-row array until the pair
+    explode, the (a, b) groupBy pre-combines map-side (shuffle carries
+    distinct pairs per mapper, vocabulary-bounded), and the final cut is
+    a pinned-total-order TakeOrdered (count DESC, pair ASC) — no global
+    sort of the pair table. Returns (piece_a, piece_b, n).
+    """
+    p = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    n = F.size(p)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(p, 1, n - 1),
+            F.slice(p, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.a").alias("piece_a"), F.col("pr.b").alias("piece_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("piece_a").asc(), F.col("piece_b").asc())
+        .limit(int(top_k))
+    )

@@ -1406,3 +1406,37 @@ def test_native_session_twin_tie_at_boundary(spark, tmp_path):
     )
     assert got == [tuple(r) for r in oracle]
     assert [g[3] for g in got] == [1, 2]  # sessions {e1}, {e2,e3}
+
+
+def test_vocab_merge_candidates_known_answer_and_vt_dialect(spark, tmp_path):
+    """Known-answer pair counts + the \\x0B dialect pin: BPE_ISH_PATTERN's
+    negated class now spells whitespace explicitly, so a vertical tab
+    separates pieces identically in Spark (Java regex) and DuckDB (RE2) —
+    with \\s the two engines tokenized VT-adjacent text differently."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.datapipe.textstats import vocab_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "the cat the cat"), (2, "the cat"), (3, None), (4, "solo"),
+         (5, "a\x0bb a\x0bb")],
+        "doc_id long, text string",
+    )
+    got = {(r.piece_a, r.piece_b): r.n for r in vocab_merge_candidates(df, top_k=10).collect()}
+    assert got[("the", "cat")] == 3
+    assert got[("cat", "the")] == 1
+    assert got[("a", "b")] == 2        # VT splits pieces: [a,b,a,b] -> (a,b)x2
+    assert got[("b", "a")] == 1
+    # cross-engine: the ACTUAL twin on the same data
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = {
+        (a, b): n
+        for a, b, n in con.execute(
+            entrymod.oracle_sql()["vocab_merges_documents"]
+        ).fetchall()
+    }
+    assert oracle == got

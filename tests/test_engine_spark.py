@@ -276,3 +276,39 @@ def test_conditional_required_checks(spark, registry, engine):
     r2 = engine.validate_data(df2, "transcripts", "cond2").collect()[0]
     assert r2.error_message == "Field 'ghost' is required when 'role' = 'assistant'"
     assert not r2.valid
+
+
+def test_conditional_required_exhaustive_state_space(spark, registry, engine):
+    """Exhaustive 3-field cross product (role x text x tool, incl. NULLs)
+    against an independent Python replay of the extension rules — every
+    reachable (dependentRequired, if/then) state is checked."""
+    registry.put("transcripts", "cond_x", {
+        "type": "object",
+        "properties": {"role": {"type": "string"}},
+        "dependentRequired": {"tool": ["text"]},
+        "if": {"properties": {"role": {"const": "assistant"}}},
+        "then": {"required": ["text"]},
+    })
+    roles = ["assistant", "user", "tool", None]
+    texts = ["x", None]
+    tools = ["t-1", None]
+    rows = [
+        (i, r, x, o)
+        for i, (r, x, o) in enumerate(
+            (r, x, o) for r in roles for x in texts for o in tools
+        )
+    ]
+    df = spark.createDataFrame(rows, "i long, role string, text string, tool string")
+    got = {r.i: (r.valid, r.error_message) for r in
+           engine.validate_data(df, "transcripts", "cond_x").collect()}
+
+    def replay(role, text, tool):
+        errs = []
+        if tool is not None and text is None:
+            errs.append("Field 'text' is required when 'tool' is present")
+        if role == "assistant" and text is None:
+            errs.append("Field 'text' is required when 'role' = 'assistant'")
+        return (not errs, "; ".join(errs) or "Validation successful")
+
+    for i, role, text, tool in rows:
+        assert got[i] == replay(role, text, tool), (role, text, tool, got[i])
