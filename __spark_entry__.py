@@ -1455,6 +1455,73 @@ SELECT conv_id, turn_idx, 'shape' AS check_name, violation FROM u
 """
 
 
+def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL near-duplicate detection: each conversation
+    becomes one document (turn texts joined in pinned (turn_idx, text)
+    order — NULL idx coalesced to a sentinel so both engines sort
+    identically), then the standard MinHash candidate-verify pipeline
+    (dedup.minhash_verified_pairs, 2-token shingles, exact Jaccard
+    re-score ≥ 0.5). Finds scripted/replayed dialogues exact turn dedup
+    misses. The derived frame is checkpointed once — minhash references
+    its input twice (signatures + verify shingles)."""
+    from pacts_spark.datapipe.dedup import minhash_verified_pairs
+
+    t = _transcripts(spark, sf_dir)
+    conv_docs = (
+        t.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.coalesce(
+                                    F.col("turn_idx"), F.lit(2147483647)
+                                ).alias("i"),
+                                F.coalesce(F.col("text"), F.lit("")).alias("x"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("x"),
+                ),
+            ).alias("text")
+        )
+        .localCheckpoint(eager=False)
+    )
+    return minhash_verified_pairs(
+        conv_docs, id_col="conv_id", k=64, shingle_n=2, threshold=0.5
+    )
+
+
+_CONV_NEARDUP_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+cd AS (
+  SELECT conv_id,
+         string_agg(coalesce(text, ''), ' '
+           ORDER BY coalesce(turn_idx, 2147483647), coalesce(text, '')) AS text
+  FROM t GROUP BY conv_id
+),
+toks AS (SELECT conv_id, string_split(trim(text), ' ') AS t FROM cd),
+sh AS (
+  SELECT DISTINCT conv_id AS id, array_to_string(t[u.i:u.i + 1], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) >= 0.5
+"""
+
+
 def _q_vocab_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE tokenizer-training round (textstats.
     vocab_merge_candidates): corpus-wide adjacent piece-pair counts,
@@ -3364,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_schema_transcripts": _q_inferred_schema,
         "centroid_drift_embeddings": _q_centroid_drift_embeddings,
         "vocab_merges_documents": _q_vocab_merges_documents,
+        "conversation_neardup_transcripts": _q_conversation_neardup,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3510,6 +3578,7 @@ FROM t
         "inferred_schema_transcripts": _inferred_schema_sql(),
         "centroid_drift_embeddings": _centroid_drift_sql(),
         "vocab_merges_documents": _vocab_merges_sql(50),
+        "conversation_neardup_transcripts": _CONV_NEARDUP_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

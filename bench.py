@@ -94,6 +94,7 @@ HEADLINE = [
     "inferred_schema_transcripts",
     "centroid_drift_embeddings",
     "vocab_merges_documents",
+    "conversation_neardup_transcripts",
 ]
 
 

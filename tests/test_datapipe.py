@@ -1440,3 +1440,49 @@ def test_vocab_merge_candidates_known_answer_and_vt_dialect(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_conversation_neardup_via_entry(spark, tmp_path):
+    """Conversation-level near-dup: two conversations that replay the
+    same dialogue (one turn changed) pair up; an unrelated one doesn't.
+    Drives the ENTRY derivation end to end against the DuckDB twin on a
+    crafted events fixture (turn texts ride props)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    script = ["hello there friend", "how are you today", "fine thanks and you",
+              "great weather today", "goodbye then friend"]
+    rows = []
+    eid = 0
+    for user, texts in [
+        (1, script),
+        (2, script[:4] + ["totally different closer line"]),   # near-dup of 1
+        (3, ["completely unrelated words here", "nothing shared at all",
+             "zebra quantum flute", "marble xylophone river", "endless unique phrases"]),
+    ]:
+        for i, tx in enumerate(texts):
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", user, "view", 1.0, tx))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    pq = str(tmp_path / "events.parquet")
+    df.write.parquet(pq)
+
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in entrymod.queries()["conversation_neardup_transcripts"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [("conv-1", "conv-2")]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = sorted(
+        (a, b) for a, b, _ in con.execute(
+            entrymod.oracle_sql()["conversation_neardup_transcripts"]
+        ).fetchall()
+    )
+    assert oracle == got
