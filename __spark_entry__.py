@@ -1455,6 +1455,35 @@ SELECT conv_id, turn_idx, 'shape' AS check_name, violation FROM u
 """
 
 
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-pair assembly (datapipe/sft.sft_pairs): every
+    assistant turn with text becomes (prompt = preceding turns rendered
+    'role: text' in the pinned sequence order, response = the turn) —
+    ONE conv-keyed window exchange, validated transcripts straight to
+    training data."""
+    from pacts_spark.datapipe.sft import sft_pairs
+
+    return sft_pairs(_transcripts(spark, sf_dir))
+
+
+_SFT_PAIRS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+o AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), chr(10))
+           OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx, ts, coalesce(role, ''), coalesce(text, ''),
+                          coalesce(tool, '')
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM t WHERE turn_idx IS NOT NULL
+)
+SELECT conv_id, turn_idx, prompt, text AS response
+FROM o
+WHERE role = 'assistant' AND text IS NOT NULL
+  AND prompt IS NOT NULL AND prompt <> ''
+"""
+
+
 def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-LEVEL near-duplicate detection: each conversation
     becomes one document (turn texts joined in pinned (turn_idx, text)
@@ -3432,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift_embeddings": _q_centroid_drift_embeddings,
         "vocab_merges_documents": _q_vocab_merges_documents,
         "conversation_neardup_transcripts": _q_conversation_neardup,
+        "sft_pairs_transcripts": _q_sft_pairs,
         "validate_envelopes_mixed": _q_validate_envelopes_mixed,
         "validate_orders_missing_schema": _q_validate_orders_missing_schema,
         "envelope_roundtrip": _q_envelope_roundtrip,
@@ -3579,6 +3609,7 @@ FROM t
         "centroid_drift_embeddings": _centroid_drift_sql(),
         "vocab_merges_documents": _vocab_merges_sql(50),
         "conversation_neardup_transcripts": _CONV_NEARDUP_SQL,
+        "sft_pairs_transcripts": _SFT_PAIRS_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,
         "envelope_roundtrip": _ENVELOPE_ROUNDTRIP_SQL,

@@ -95,6 +95,7 @@ HEADLINE = [
     "centroid_drift_embeddings",
     "vocab_merges_documents",
     "conversation_neardup_transcripts",
+    "sft_pairs_transcripts",
 ]
 
 

@@ -1,0 +1,71 @@
+"""SFT training-pair assembly from conversation transcripts.
+
+The transcripts table IS the raw material of supervised fine-tuning; the
+missing step between "validated transcripts" and "training data" is
+pairing each assistant turn with its preceding dialogue context. This
+module does that as ONE conv-keyed window pass — the same single
+exchange sessionization and the sequence checks ride.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    assistant_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response) for every assistant turn
+    with text: response = the turn's text, prompt = all PRECEDING turns
+    rendered ``role: text`` and joined with ``sep``, in the pinned
+    intra-conversation order (turn_idx, ts, role, text, tool — the
+    sequence-check tuple, NULLS LAST via coalesce so both engines sort
+    identically). First-turn assistant rows (empty context) are dropped
+    — a response with no prompt is not a training pair.
+
+    Scale: ONE exchange on the conversation key; the running context is
+    a window collect_list over the sorted frame (per-conversation work
+    linear in turns, bounded by conversation length like sessionize —
+    a whale conversation is one task of its own rows, and the rendered
+    prompt grows with the conversation, which is inherent to the
+    output, not the plan). Rows with NULL turn_idx are excluded, as in
+    the sequence checks (that's the required-field check's violation).
+    """
+    line = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(
+            F.col(idx_col).asc_nulls_last(),
+            F.col("ts").asc_nulls_last(),
+            F.coalesce(F.col("role"), F.lit("")).asc(),
+            F.coalesce(F.col("text"), F.lit("")).asc(),
+            F.coalesce(F.col("tool"), F.lit("")).asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.concat_ws(sep, F.collect_list(line).over(w))
+    return (
+        transcripts.filter(F.col(idx_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            F.col("role"),
+            F.col("text"),
+            prompt.alias("prompt"),
+        )
+        .filter(
+            (F.col("role") == assistant_role)
+            & F.col("text").isNotNull()
+            & (F.col("prompt") != "")
+        )
+        .select("conv_id", "turn_idx", "prompt", F.col("text").alias("response"))
+    )

@@ -1486,3 +1486,27 @@ def test_conversation_neardup_via_entry(spark, tmp_path):
         ).fetchall()
     )
     assert oracle == got
+
+
+def test_sft_pairs_known_answer(spark):
+    from pacts_spark.datapipe.sft import sft_pairs
+
+    rows = [
+        ("A", 1, "user", "hi", None, "2025-01-01 00:00:00"),
+        ("A", 2, "assistant", "hello!", None, "2025-01-01 00:01:00"),
+        ("A", 3, "user", None, None, "2025-01-01 00:02:00"),     # null text in ctx
+        ("A", 4, "assistant", "yes?", None, "2025-01-01 00:03:00"),
+        ("B", 1, "assistant", "orphan", None, "2025-01-01 00:00:00"),  # no context
+        ("C", 1, "user", "q", None, "2025-01-01 00:00:00"),
+        ("C", 2, "assistant", None, None, "2025-01-01 00:01:00"),      # null response
+        ("D", None, "assistant", "x", None, "2025-01-01 00:00:00"),    # null idx
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {(r.conv_id, r.turn_idx): (r.prompt, r.response)
+           for r in sft_pairs(df).collect()}
+    assert got[("A", 2)] == ("user: hi", "hello!")
+    assert got[("A", 4)] == ("user: hi\nassistant: hello!\nuser: ", "yes?")
+    assert set(got) == {("A", 2), ("A", 4)}  # orphan/null-response/null-idx dropped
