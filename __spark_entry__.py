@@ -1979,8 +1979,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(
          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(
-        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+-- threshold the ROUNDED value (matching the engine): raw-sim thresholds
+-- let BLAS-vs-DuckDB summation ulps flip boundary pairs between engines
+WHERE round(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """
 
 
@@ -2910,7 +2912,7 @@ SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
   FROM cand c
   JOIN embeddings ea ON c.id_a = ea.vec_id
   JOIN embeddings eb ON c.id_b = eb.vec_id
-) WHERE sim >= {threshold}
+) WHERE round(sim, 6) >= {threshold}
 """
 
 

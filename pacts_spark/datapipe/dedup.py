@@ -105,8 +105,16 @@ def exact_duplicate_pairs(
     the hash projection: no collect_list, no arrays, no per-group row-size
     ceiling, one shuffle on content_hash. Equivalent to exploding
     :func:`exact_duplicates`' unbounded ``ids`` but safe under mass
-    duplication (the capped ``ids`` would DROP edges past the cap)."""
-    h = df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+    duplication (the capped ``ids`` would DROP edges past the cap).
+
+    NULL-text docs produce NO edges: SQL equality semantics (the twins
+    join on md5(a.text) = md5(b.text), where NULL never equals NULL) —
+    an unfiltered window would group all NULL hashes into one giant
+    cluster the oracle doesn't have. Content-less docs aren't
+    duplicates of each other."""
+    h = df.filter(F.col(text_col).isNotNull()).select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
     canon = F.min(id_col).over(Window.partitionBy("content_hash"))
     return (
         h.select(canon.alias("id_a"), F.col(id_col).alias("id_b"))
@@ -239,13 +247,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     df_cap: int = 100,
 ) -> DataFrame:
-    """Exact Jaccard over n-word shingles for candidate pairs sharing ≥1
-    shingle. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """Jaccard over n-word shingles for candidate pairs sharing ≥1
+    surviving shingle. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     ``df_cap`` drops shingles appearing in more than that many docs before
     the self-join (stopword shingles generate quadratic candidates while
     contributing little discrimination) — at web scale this cap is what
     keeps the inverted index join linear-ish.
+
+    HONEST SCORE SEMANTICS under the cap: n_common counts only
+    post-cap (rare) shared shingles while the denominator keeps full
+    shingle-set sizes, so pairs whose overlap is mostly hot shingles
+    score BELOW their true Jaccard (and pairs sharing only hot
+    shingles vanish entirely). The DuckDB twin replays the same
+    formula, so parity holds — but for a genuinely exact score use
+    :func:`minhash_verified_pairs`, whose verification stage computes
+    the uncapped Jaccard.
     """
     sh = ensure_scan_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -297,6 +314,14 @@ def minhash_signatures(
     array_min over a transform per hash function; no shuffle at all (a
     single projection)."""
     coeffs = _hash_coeffs(k, seed)
+    # NULL-text docs carry no shingles and can never verify into a pair
+    # (their jaccard is NULL) — but unfiltered they are WORSE than
+    # useless: their band keys are xxhash64(NULL) = the seed constant,
+    # so every NULL doc corpus-wide collides in EVERY band and the
+    # candidate join does quadratic work it then throws away. Filter at
+    # the source; the twins (unnest of a NULL shingle list) never see
+    # these docs either.
+    df = df.filter(F.col(text_col).isNotNull())
     # materialize shingle hashes ONCE per row before fanning out to k
     # permutations — otherwise Catalyst re-evaluates split+shingle+xxhash64
     # k times per row (measured 20x slowdown at k=64)
@@ -484,7 +509,12 @@ def simhash64(
             "would leave the top fingerprint bits constant — pass bits<=60"
         )
     toks = F.array_distinct(_tokens(F.col(text_col)))
-    df = ensure_scan_parallelism(df, id_col)
+    # NULL-text docs have NO fingerprint (not fingerprint 0): an
+    # unfiltered NULL bit-sum fell through to sign 0 on every bit, so
+    # any two NULL-text docs paired at hamming 0 — while the DuckDB twin
+    # (unnest of a NULL token list) emits no row at all. Align on the
+    # twin's semantics: no content, no fingerprint.
+    df = ensure_scan_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: _token_hash(t, token_hash)).alias("__h"),

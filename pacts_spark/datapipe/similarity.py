@@ -26,6 +26,15 @@
   band-bucket routing as lsh_ann_topk, thresholded exact in-bucket
   cosine, id_a < id_b orientation + cross-band dedup.
 
+Rank determinism note: the top-k operators ORDER by raw double sims
+(id tie-break applies only on exact equality), so two candidates that
+tie mathematically but are summed in different orders by BLAS vs the
+DuckDB twin can swap ranks by one ulp — a documented hazard, bounded to
+exact mathematical ties. THRESHOLD membership, by contrast, is decided
+on the rounded-to-6 value in both engines (quantized, ulp-immune). For
+rank-critical workloads use the integer-exact operators (pq_topk,
+kmeans_assign), which have no float anywhere.
+
 - :func:`lsh_ann_topk` — random-hyperplane LSH (signed projections →
   bit signature → band buckets) with BUCKET-LOCAL scoring: vectors
   ride the band explode once (shuffle = bands x corpus, a predictable
@@ -43,6 +52,20 @@ import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _safe_rows(M):
+    """Row-normalize with a ZERO-NORM guard: an all-zero vector keeps
+    norm 1, so its sims are exactly 0.0 (ranked naturally last / never
+    crossing any positive threshold) instead of NaN — NaN sorts LAST in
+    numpy lexsort but FIRST under ORDER BY sim DESC in both Spark and
+    DuckDB, a cross-engine rank-1 poisoning. Zero vectors are invalid
+    input (vector_column_stats flags them as n_zero); this guard keeps
+    the operators well-defined anyway."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0.0, 1.0, n)
 
 
 def _dot(a, b):
@@ -134,9 +157,9 @@ def cosine_topk(
             return pd.DataFrame({"vec_id": [], "nn_id": [], "sim": []})
         cand_ids = c["id"].to_numpy()
         M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _safe_rows(Q)
         S = Qn @ Mn.T
         qids = q["id"].to_numpy()
         S[qids[:, None] == cand_ids[None, :]] = -np.inf
@@ -190,14 +213,18 @@ def cosine_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         cand_ids = c["id"].to_numpy()
         M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _safe_rows(Q)
         S = Qn @ Mn.T
         qids = q["id"].to_numpy()
         out_a, out_b, out_s = [], [], []
         for i in range(S.shape[0]):
-            hits = np.nonzero((S[i] >= thr) & (cand_ids > qids[i]))[0]
+            # 1e-6 margin: the MEMBERSHIP decision happens on the
+            # ROUNDED value engine-side below — thresholding the raw
+            # numpy sim here would let ulp differences between BLAS and
+            # DuckDB summation flip boundary pairs between engines
+            hits = np.nonzero((S[i] >= thr - 1e-6) & (cand_ids > qids[i]))[0]
             for j in hits:
                 out_a.append(qids[i])
                 out_b.append(cand_ids[j])
@@ -210,6 +237,7 @@ def cosine_pairs(
         union.groupBy("chunk")
         .applyInPandas(partial, "id_a long, id_b long, cosine double")
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
 
 
@@ -233,7 +261,7 @@ def ivf_topk(
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         S = Mn @ Mn.T
         np.fill_diagonal(S, -np.inf)
         out_q, out_n, out_r, out_s, out_b = [], [], [], [], []
@@ -325,7 +353,7 @@ def ivf_quantized_topk(
         .collect()
     )
     C = np.array([np.asarray(r[1], dtype=np.float64) for r in seeds])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _safe_rows(C)
     bc = df.sparkSession.sparkContext.broadcast(Cn)
     npr = min(nprobe, len(seeds))
 
@@ -335,7 +363,7 @@ def ivf_quantized_topk(
             if pdf.empty:
                 continue
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = _safe_rows(V)
             S = Vn @ Cm.T
             # stable sort: tie -> lower cell id, matching the SQL twin's
             # ORDER BY sim DESC, cell ASC. Row emission is fully
@@ -404,9 +432,9 @@ def ivf_quantized_topk(
         qids = q["id"].to_numpy()
         cids = c["id"].to_numpy()
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _safe_rows(Q)
         M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         S = Qn @ Mn.T
         S[qids[:, None] == cids[None, :]] = -np.inf
         out_q, out_c, out_s = [], [], []
@@ -575,9 +603,9 @@ def lsh_ann_topk(
         qids = q["id"].to_numpy()
         cids = c["id"].to_numpy()
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _safe_rows(Q)
         M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         S = Qn @ Mn.T
         S[qids[:, None] == cids[None, :]] = -np.inf
         out_q, out_c, out_s = [], [], []
@@ -650,13 +678,14 @@ def lsh_cosine_near_pairs(
         qids = q["id"].to_numpy()
         cids = c["id"].to_numpy()
         Q = np.array([np.asarray(v, dtype=np.float64) for v in q["v"]])
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = _safe_rows(Q)
         M = np.array([np.asarray(v, dtype=np.float64) for v in c["v"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_rows(M)
         S = Qn @ Mn.T
         # orient a < b: keeps exactly one of the two (q,c)/(c,q)
-        # appearances of a pair, in 'b' blocks and across grid blocks alike
-        ii, jj = np.nonzero((S >= thr) & (cids[None, :] > qids[:, None]))
+        # appearances of a pair, in 'b' blocks and across grid blocks alike.
+        # 1e-6 margin: membership is decided on the ROUNDED value below
+        ii, jj = np.nonzero((S >= thr - 1e-6) & (cids[None, :] > qids[:, None]))
         return pd.DataFrame(
             {
                 "id_a": qids[ii],
@@ -672,7 +701,14 @@ def lsh_cosine_near_pairs(
     # banker's) BEFORE the dedup so ulp differences between block layouts
     # cannot leak into the output
     rounded = partials.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    return rounded.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    # threshold the ROUNDED value (the raw-sim cut inside the UDF keeps a
+    # 1e-6 margin) — membership at the boundary is then quantized, not a
+    # BLAS-vs-DuckDB summation ulp
+    return (
+        rounded.filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 
 def _int_sq_dist(a, b):
@@ -944,7 +980,12 @@ def pq_oracle_sql(
     Uses the reconstruction identity: the ADC distance equals
     |q − concat_s C_s[code_s(x)]|², so the twin decodes each candidate
     to its reconstructed integer vector and replays ONE integer
-    dot-product distance (all intermediates < 2^53 — exact doubles).
+    dot-product distance. VALIDITY BOUND: DuckDB's list_dot_product
+    evaluates in DOUBLE, exact only while q·q < 2^53 — i.e. element
+    magnitudes |x| ≲ 11 at d=64 (unit-scale embeddings are far inside).
+    The Spark operator itself is exact BIGINT at any magnitude; only
+    the oracle replay carries this bound (same bound in
+    kmeans_oracle_sql).
     ``iters`` Lloyd rounds unroll as chained CTEs (the kmeans twin
     idiom); the exact re-rank replays as a shortlist window cut + two
     id joins against the true integer vectors."""

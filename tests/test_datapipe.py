@@ -1510,3 +1510,42 @@ def test_sft_pairs_known_answer(spark):
     assert got[("A", 2)] == ("user: hi", "hello!")
     assert got[("A", 4)] == ("user: hi\nassistant: hello!\nuser: ", "yes?")
     assert set(got) == {("A", 2), ("A", 4)}  # orphan/null-response/null-idx dropped
+
+
+def test_null_text_dedup_family_alignment(spark):
+    """Regression (review round 4): NULL-text docs produce NO simhash
+    fingerprint, NO exact-dup edges, NO minhash signatures — aligning
+    the engine with the twins' SQL semantics (NULL never equals NULL;
+    unnest of a NULL token list emits nothing)."""
+    from pacts_spark.datapipe.dedup import (
+        exact_duplicate_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c d"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    assert {r.id for r in simhash64(df).collect()} == {3, 4}
+    pairs = {(r.id_a, r.id_b) for r in exact_duplicate_pairs(df).collect()}
+    assert pairs == {(3, 4)}          # NULLs never pair
+    assert {r.id for r in minhash_signatures(df).collect()} == {3, 4}
+
+
+def test_zero_vector_never_poisons_ranks_or_pairs(spark):
+    """Regression (review round 4): an all-zero embedding must yield
+    sim 0.0 (ranked last, below any positive threshold), never NaN —
+    NaN sorts FIRST under ORDER BY sim DESC and would take rank 1 for
+    every query."""
+    from pacts_spark.datapipe.similarity import cosine_pairs, cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    nn = {r.vec_id: r.nn_id for r in cosine_topk(df, k=1).collect()}
+    assert nn[1] == 2 and nn[2] == 1      # zero vector never rank-1
+    assert nn[3] in (1, 2)                # zero vec's own sims are 0; id tie-break
+    pairs = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}              # zero vector crosses no threshold
