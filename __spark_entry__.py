@@ -1472,8 +1472,8 @@ o AS (
   SELECT conv_id, turn_idx, role, text,
          string_agg(coalesce(role, '') || ': ' || coalesce(text, ''), chr(10))
            OVER (PARTITION BY conv_id
-                 ORDER BY turn_idx, ts, coalesce(role, ''), coalesce(text, ''),
-                          coalesce(tool, '')
+                 ORDER BY turn_idx, ts NULLS LAST, coalesce(role, ''),
+                          coalesce(text, ''), coalesce(tool, '')
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
   FROM t WHERE turn_idx IS NOT NULL
 )
@@ -1491,8 +1491,13 @@ def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically), then the standard MinHash candidate-verify pipeline
     (dedup.minhash_verified_pairs, 2-token shingles, exact Jaccard
     re-score ≥ 0.5). Finds scripted/replayed dialogues exact turn dedup
-    misses. The derived frame is checkpointed once — minhash references
-    its input twice (signatures + verify shingles)."""
+    misses. Conversations whose turns are ALL NULL text derive '' and
+    are dropped in BOTH engines (content-less convs aren't near-dups of
+    each other — they would otherwise form an N² jaccard-1.0 clique on
+    the single '' shingle). Same miss bound as minhash_pairs_documents
+    vs its exact all-pairs twin: (1-j²)^32 ≈ 2e-4 at j=0.5. The derived
+    frame is checkpointed once — minhash references its input twice
+    (signatures + verify shingles)."""
     from pacts_spark.datapipe.dedup import minhash_verified_pairs
 
     t = _transcripts(spark, sf_dir)
@@ -1516,6 +1521,7 @@ def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("text")
         )
+        .filter(F.trim(F.col("text")) != "")
         .localCheckpoint(eager=False)
     )
     return minhash_verified_pairs(
@@ -1531,7 +1537,12 @@ cd AS (
            ORDER BY coalesce(turn_idx, 2147483647), coalesce(text, '')) AS text
   FROM t GROUP BY conv_id
 ),
-toks AS (SELECT conv_id, string_split(trim(text), ' ') AS t FROM cd),
+toks AS (
+  -- all-NULL-text conversations derive '' and are dropped (engine
+  -- filter twin): they'd otherwise clique at jaccard 1.0 on shingle ''
+  SELECT conv_id, string_split(trim(text), ' ') AS t
+  FROM cd WHERE trim(text) <> ''
+),
 sh AS (
   SELECT DISTINCT conv_id AS id, array_to_string(t[u.i:u.i + 1], ' ') AS shingle
   FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)
@@ -1599,7 +1610,9 @@ def _q_centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
         F.col("source").alias("part"), "embedding"
     )
-    return embedding_centroid_drift(joined, part_col="part", min_cos_ppm=200_000)
+    return embedding_centroid_drift(
+        joined, part_col="part", min_cos_ppm=200_000, expected_dim=64
+    )
 
 
 def _centroid_drift_sql(min_cos_ppm: int = 200_000) -> str:
@@ -1610,6 +1623,10 @@ WITH e AS (
          list_transform(e.embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  -- explicit dim filter matching the engine's expected_dim: the range
+  -- cross-join below would otherwise COUNT NULL/ragged vectors that
+  -- Spark's posexplode drops
+  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
 ),
 x AS (SELECT part, r.i AS pos, q[CAST(r.i AS INT)] AS val FROM e, range(1, 65) r(i)),
 ps AS (SELECT part, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n FROM x GROUP BY 1, 2),

@@ -202,6 +202,7 @@ def embedding_centroid_drift(
     part_col: str = "part",
     vec_col: str = "embedding",
     min_cos_ppm: int = 990_000,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Per-partition embedding-centroid drift vs the corpus centroid —
     the vector analogue of :func:`drift_scores`: an embedding-model
@@ -224,6 +225,16 @@ def embedding_centroid_drift(
     — both engines truncate integer division toward zero (Spark ``div``,
     DuckDB ``//``), so the threshold quantization is bit-identical.
 
+    VALIDITY BOUND: dot² and the threshold products stay in BIGINT
+    range while per-dim centroid magnitudes are ≲ 7 (milli units ≲
+    7000, dot ≲ 3e9 at d=64) — far above unit-scale embeddings. Beyond
+    it Spark wraps silently and DuckDB raises; like pq_oracle_sql, the
+    bound is documented rather than runtime-checked. Pass
+    ``expected_dim`` to exclude NULL / wrong-dimension vectors
+    explicitly (the rule both engines state identically; bare
+    posexplode drops NULL arrays but emits partial positions for
+    ragged ones).
+
     Returns (part, n_vecs, dot, norm2_part, norm2_global, drifted) —
     BIGINTs + boolean, hash-stable.
     """
@@ -231,6 +242,15 @@ def embedding_centroid_drift(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long"),
     )
+    # NULL / wrong-dim vectors are excluded EXPLICITLY when expected_dim
+    # is given: posexplode silently drops NULL arrays and emits partial
+    # positions for ragged ones, while a range-join twin counts them —
+    # the explicit filter is the rule both engines can state identically
+    if expected_dim is not None:
+        df = df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == F.lit(int(expected_dim)))
+        )
     ex = df.select(F.col(part_col).alias("part"), F.posexplode(q).alias("pos", "val"))
     ps = ex.groupBy("part", "pos").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")

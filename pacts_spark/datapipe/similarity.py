@@ -30,9 +30,11 @@ Rank determinism note: the top-k operators ORDER by raw double sims
 (id tie-break applies only on exact equality), so two candidates that
 tie mathematically but are summed in different orders by BLAS vs the
 DuckDB twin can swap ranks by one ulp — a documented hazard, bounded to
-exact mathematical ties. THRESHOLD membership, by contrast, is decided
-on the rounded-to-6 value in both engines (quantized, ulp-immune). For
-rank-critical workloads use the integer-exact operators (pq_topk,
+exact mathematical ties. THRESHOLD membership is decided on the
+rounded-to-6 value in both engines — this relocates the knife edge
+from the threshold itself to the far rarer x.xxxxx5 rounding boundary
+(shrinks, not eliminates, the exposure). For rank-critical or
+boundary-critical workloads use the integer-exact operators (pq_topk,
 kmeans_assign), which have no float anywhere.
 
 - :func:`lsh_ann_topk` — random-hyperplane LSH (signed projections →
@@ -56,12 +58,15 @@ from pyspark.sql import functions as F
 
 def _safe_rows(M):
     """Row-normalize with a ZERO-NORM guard: an all-zero vector keeps
-    norm 1, so its sims are exactly 0.0 (ranked naturally last / never
-    crossing any positive threshold) instead of NaN — NaN sorts LAST in
-    numpy lexsort but FIRST under ORDER BY sim DESC in both Spark and
-    DuckDB, a cross-engine rank-1 poisoning. Zero vectors are invalid
-    input (vector_column_stats flags them as n_zero); this guard keeps
-    the operators well-defined anyway."""
+    norm 1, so its sims are exactly 0.0 instead of NaN — NaN sorts LAST
+    in numpy lexsort but FIRST under ORDER BY sim DESC, so one zero
+    vector would otherwise take rank 1 for every query in the twins.
+    This is an ENGINE-robustness guard, not a parity claim: zero
+    vectors are INVALID input (vector_column_stats flags them as
+    n_zero), and for them the engine's 0.0 differs from DuckDB's
+    list_cosine_similarity convention (-1.0) — below any negative-sim
+    candidate rather than between signs. Filter zero vectors upstream
+    when the corpus can contain them."""
     import numpy as np
 
     n = np.linalg.norm(M, axis=1, keepdims=True)

@@ -110,7 +110,11 @@ class SchemaRegistry:
             fh: io.BytesIO | str = io.BytesIO(source)
         else:
             fh = str(source)
-        n = 0
+        # stage-then-commit: a source that fails mid-archive (malformed
+        # entry after valid ones) must leave the registry UNTOUCHED, or
+        # first-source-wins silently serves a mix of the failed source's
+        # partial entries and the winner's
+        staged: dict[str, dict] = {}
         with zipfile.ZipFile(fh) as zf:
             for entry in sorted(zf.namelist()):
                 if not entry.endswith(".json") or entry.endswith("/"):
@@ -123,11 +127,11 @@ class SchemaRegistry:
                     continue
                 domain, version, category = parts[-4], parts[-3], parts[-2]
                 name = parts[-1][: -len(".json")]
-                self._cache[f"{domain}/{version}/{category}/{name}"] = json.loads(
+                staged[f"{domain}/{version}/{category}/{name}"] = json.loads(
                     zf.read(entry).decode("utf-8")
                 )
-                n += 1
-        return n
+        self._cache.update(staged)
+        return len(staged)
 
     def load_sources(self, sources: list[str | Path]) -> int:
         """First-source-wins over an ordered source list

@@ -151,3 +151,24 @@ def test_load_remote_sources_transport_injected(tmp_path):
     assert reg2.load_remote_sources(
         ["https://example.invalid/down.zip"], fetch
     ) == 0
+
+
+def test_load_zip_is_atomic_on_mid_archive_failure(tmp_path):
+    """Regression: a bundle failing mid-archive (malformed entry after
+    valid ones) must leave the registry untouched — partial commits
+    would make first-source-wins serve a mix of loser + winner."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from pacts_spark.registry import SchemaRegistry
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("bees/v1/transcripts/aa_ok.json", '{"type": "object"}')
+        zf.writestr("bees/v1/transcripts/zz_bad.json", "{not json")
+    reg = SchemaRegistry(domain="bees", version="v1", schema_root=tmp_path)
+    with pytest.raises(Exception):
+        reg.load_zip(buf.getvalue())
+    assert reg.cached_keys() == []      # nothing leaked from the failed source
