@@ -271,9 +271,13 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh_kept = sh.join(
-        F.broadcast(freq.filter(F.col("df") <= df_cap).select("shingle")), "shingle"
-    )
+    # Broadcast the HOT set and anti-join it away. The hot set (df >
+    # df_cap) is small BY CONSTRUCTION — boilerplate/stopword shingles
+    # only — while the kept set is ~the corpus's entire distinct-shingle
+    # vocabulary (billions of rows at 100 TB): broadcasting the kept set
+    # would OOM the driver at scale even though it's a few MB locally.
+    hot = freq.filter(F.col("df") > df_cap).select("shingle")
+    sh_kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
 
     a = sh_kept.alias("a")
     b = sh_kept.alias("b")

@@ -411,10 +411,12 @@ def winnow_overlap_pairs(
     grams are the stopwords of this index), count shared per pair."""
     fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
     freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
-    kept = fps.join(
-        F.broadcast(freq.filter(F.col("df") <= df_cap).select("fingerprint")),
-        "fingerprint",
-    )
+    # Broadcast the small HOT set (boilerplate grams, df > df_cap) and
+    # anti-join it away — never the kept set, whose cardinality is ~the
+    # corpus's distinct-fingerprint count (grams / w): corpus-sized, a
+    # guaranteed broadcast OOM at the 100 TB target.
+    hot = freq.filter(F.col("df") > df_cap).select("fingerprint")
+    kept = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

@@ -111,6 +111,38 @@ def test_validator_scan_is_column_pruned(spark, engine):
     assert "o_orderdate" not in plan, plan
 
 
+def test_df_cap_broadcasts_hot_set_not_kept_set(spark):
+    """The df-cap inverted indexes (n-gram Jaccard, winnow overlap) must
+    broadcast only the small HOT set (df > cap, boilerplate by
+    construction) as a LeftAnti removal — never the corpus-sized kept
+    set. A BroadcastHashJoin with Inner join type on the shingle /
+    fingerprint key is exactly the 100 TB driver-OOM plan this guards
+    against."""
+    from pacts_spark.datapipe.dedup import ngram_jaccard_pairs
+    from pacts_spark.datapipe.textstats import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for q in (
+        ngram_jaccard_pairs(docs),
+        winnow_overlap_pairs(docs),
+    ):
+        # assert on the optimized LOGICAL plan's explicit hints: at tiny
+        # SF Catalyst's stats-based planner broadcasts the small self-join
+        # sides too, which is size-driven and correct — the scale defect
+        # is an explicit broadcast() HINT, which forces the broadcast
+        # regardless of estimated size.
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        hinted = [
+            ln
+            for ln in plan.splitlines()
+            if "strategy=broadcast" in ln
+            and ("shingle" in ln or "fingerprint" in ln)
+        ]
+        assert hinted, plan  # the hot-set anti-join must carry the hint
+        for ln in hinted:
+            assert "Join LeftAnti" in ln, plan
+
+
 def test_resume_scan_prunes_partitions_at_source(spark, tmp_path):
     """Iceberg-seam contract (table adapter): a RESUMED read over a
     physically partitioned table must carry the validated-partition
