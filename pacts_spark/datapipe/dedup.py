@@ -349,12 +349,32 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs colliding on any band become a candidate pair.
     Shuffle key = (band_idx, band_hash) — uniform by construction; the
     per-bucket pair expansion is quadratic only within a bucket, and
-    buckets are tiny for any reasonable threshold."""
+    buckets are tiny for any reasonable threshold.
+
+    ``max_bucket`` (default None = off, output unchanged) guards the
+    quadratic per-bucket expansion on SELF-SIMILAR corpora (templated
+    support logs, generated text — measured: ~98% of all conversation
+    pairs surviving the band filter on a corpus with ~0.35 baseline
+    Jaccard): band buckets holding more than ``max_bucket`` docs are
+    dropped before the self-join, bounding candidate volume at
+    ``bands * N * max_bucket / 2``. RECALL EFFECT: a pair is lost only
+    if EVERY band where its signatures collide is a hot bucket — for a
+    pair at Jaccard j colliding in an expected ``b * j^r`` bands, all of
+    them must exceed the cap; genuinely-near pairs (j >> the corpus
+    baseline) collide in many bands while hot buckets are by definition
+    the corpus-baseline template signatures, so losses concentrate on
+    pairs barely above threshold inside template clusters. The bucket
+    sizing is a single window count over the SAME (band, bucket) keys
+    the self-join shuffles on — routing and pairing ride one exchange,
+    exactly the `_lsh_grid` hot-bucket pattern (similarity.py)."""
     assert bands * rows_per_band <= 1024
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = signatures.select(
@@ -377,6 +397,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        w_bb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("bsize", F.count(F.lit(1)).over(w_bb))
+            .filter(F.col("bsize") <= max_bucket)
+            .drop("bsize")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -400,10 +427,12 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures → banded candidates → verify
     with estimated Jaccard (fraction of equal signature slots). Returns
-    (id_a, id_b, est_jaccard ≥ threshold)."""
+    (id_a, id_b, est_jaccard ≥ threshold). ``max_bucket`` forwards to
+    :func:`lsh_candidate_pairs` (hot-bucket candidate guard)."""
     rows_per_band = k // bands
     # lazy localCheckpoint: the banded self-join references sigs on BOTH
     # sides — without it the k-permutation projection runs twice (measured
@@ -412,7 +441,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).localCheckpoint(
         eager=False
     )
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket=max_bucket)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     j = cand.join(sa, "id_a").join(sb, "id_b")
@@ -451,6 +480,7 @@ def minhash_verified_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate-then-verify MinHash dedup: banded-LSH candidates, then
     EXACT Jaccard re-score over the candidates' shingle sets. Returns
@@ -465,14 +495,22 @@ def minhash_verified_pairs(
     verified output equals the exact all-pairs Jaccard >= threshold set
     (the DuckDB oracle twin) up to the miss bound. Shuffle cost: the band
     explode carries (id, band, bucket) only; shingle arrays travel only
-    for candidate pairs (the verification join), never all-pairs."""
+    for candidate pairs (the verification join), never all-pairs.
+
+    ``max_bucket`` (default None = exact-up-to-miss-bound output
+    unchanged) enables the hot-bucket candidate guard for self-similar
+    corpora — see :func:`lsh_candidate_pairs` for the volume bound and
+    the additional (documented) recall loss it trades."""
     # lazy localCheckpoint: sigs feeds both sides of the band self-join
     # (see minhash_dedup_pairs) — one signature pass instead of two
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, seed).localCheckpoint(
         eager=False
     )
     cand = lsh_candidate_pairs(
-        sigs, bands=k // rows_per_band, rows_per_band=rows_per_band
+        sigs,
+        bands=k // rows_per_band,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
     )
     sh = ensure_scan_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),

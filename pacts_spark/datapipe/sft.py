@@ -19,6 +19,8 @@ def sft_pairs(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     sep: str = "\n",
+    max_context_turns: int | None = None,
+    max_context_chars: int | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, prompt, response) for every assistant turn
     with text: response = the turn's text, prompt = all PRECEDING turns
@@ -35,11 +37,31 @@ def sft_pairs(
     prompt grows with the conversation, which is inherent to the
     output, not the plan). Rows with NULL turn_idx are excluded, as in
     the sequence checks (that's the required-field check's violation).
+
+    CONTEXT CAPS (every production SFT pipeline truncates context):
+
+    - ``max_context_turns`` bounds the window frame itself —
+      ``ROWS BETWEEN max PRECEDING AND 1 PRECEDING`` — so a whale
+      conversation's task materializes O(turns * cap) characters
+      instead of O(turns²): without it one 10M-turn conversation
+      makes a single task build gigabytes of running prompt.
+    - ``max_context_chars`` keeps the LAST that many characters of the
+      rendered prompt (the most recent context — the end of the prompt
+      is what abuts the response). Applied after the turn cap; a pure
+      post-projection, so it bounds OUTPUT size, while the turn cap is
+      what bounds the window's working set.
+
+    Both default to None (uncapped, the original contract output).
     """
     line = F.concat(
         F.coalesce(F.col("role"), F.lit("")),
         F.lit(": "),
         F.coalesce(F.col("text"), F.lit("")),
+    )
+    lo = (
+        Window.unboundedPreceding
+        if max_context_turns is None
+        else -int(max_context_turns)
     )
     w = (
         Window.partitionBy(conv_col)
@@ -50,9 +72,16 @@ def sft_pairs(
             F.coalesce(F.col("text"), F.lit("")).asc(),
             F.coalesce(F.col("tool"), F.lit("")).asc(),
         )
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(lo, -1)
     )
     prompt = F.concat_ws(sep, F.collect_list(line).over(w))
+    if max_context_chars is not None:
+        # keep the TAIL (most recent context); substr is 1-based and
+        # clamps, so short prompts pass through unchanged
+        n = int(max_context_chars)
+        prompt = F.when(
+            F.length(prompt) > n, F.substring(prompt, -n, n)
+        ).otherwise(prompt)
     return (
         transcripts.filter(F.col(idx_col).isNotNull())
         .select(

@@ -26,6 +26,38 @@ import zipfile
 from pathlib import Path
 
 MAX_SCHEMA_BYTES = 10 * 1024 * 1024  # per-entry guard, SchemaLoader.java:43
+CONNECT_TIMEOUT_S = 15.0  # SchemaLoader.java:41
+READ_TIMEOUT_S = 30.0  # SchemaLoader.java:42
+
+
+def default_fetch(
+    url: str,
+    connect_timeout: float = CONNECT_TIMEOUT_S,
+    read_timeout: float = READ_TIMEOUT_S,
+) -> bytes:
+    """Default HTTP transport for remote schema bundles: a plain
+    ``urllib.request`` GET honoring the reference's guards
+    (SchemaLoader.java:41-43 — 15 s connect, 30 s read; the 10 MB
+    PER-ENTRY guard is enforced downstream in :meth:`SchemaRegistry.
+    load_zip`, same as the reference applies it at entry walk, not at
+    download). The body is streamed in chunks against a wall-clock
+    deadline so a stalling-but-alive server cannot hang the loader
+    past the read budget."""
+    import time
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": "pacts-spark"})
+    chunks: list[bytes] = []
+    with urllib.request.urlopen(req, timeout=connect_timeout) as resp:
+        deadline = time.monotonic() + read_timeout
+        while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"read of {url} exceeded {read_timeout}s")
+            chunk = resp.read(64 * 1024)
+            if not chunk:
+                break
+            chunks.append(chunk)
+    return b"".join(chunks)
 
 
 class SchemaRegistry:
@@ -149,18 +181,22 @@ class SchemaRegistry:
                 continue
         return 0
 
-    def load_remote_sources(self, urls: list[str], fetch) -> int:
+    def load_remote_sources(self, urls: list[str], fetch=None) -> int:
         """The reference's remote bulk ingest (SchemaLoader.java:139-211
-        GET of a release ZIP) with the TRANSPORT dependency-injected:
-        ``fetch(url) -> bytes`` is the only network-touching step and the
-        sandbox has no network, so production passes an HTTP client's
-        get-bytes and tests pass a fake — every semantics-carrying rule
-        (ordered first-source-wins, warn-and-continue on a failing
-        source, entry path parse, per-entry size guard, total-failure
-        fallback to lazy-disk mode) is THIS code and is covered.
+        GET of a release ZIP). The transport defaults to
+        :func:`default_fetch` (urllib GET with the reference's 15 s
+        connect / 30 s read guards, SchemaLoader.java:41-43) and stays
+        dependency-injectable: ``fetch(url) -> bytes`` is the only
+        network-touching step, so tests pass a fake — every
+        semantics-carrying rule (ordered first-source-wins,
+        warn-and-continue on a failing source, entry path parse,
+        per-entry size guard, total-failure fallback to lazy-disk mode)
+        is THIS code and is covered.
 
         Returns the entry count from the first source that yields > 0
         schemas, else 0 (caller stays in schema_root disk mode)."""
+        if fetch is None:
+            fetch = default_fetch
         for url in urls:
             try:
                 n = self.load_zip(fetch(url))

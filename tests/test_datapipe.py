@@ -603,6 +603,66 @@ def test_minhash_lsh(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """Self-similar corpus guard (the conversation_neardup lesson: ~98%
+    of all pairs survived the band filter on a ~0.35-baseline-Jaccard
+    corpus). With max_bucket set, candidate volume must be bounded by
+    bands * N * max_bucket / 2 instead of quadratic in the template
+    cluster, while a true near-dup pair OUTSIDE the template cluster
+    (its buckets are cold by construction) is still found and verified."""
+    from pacts_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_verified_pairs,
+    )
+
+    template = " ".join(f"tok{i}" for i in range(12))
+    rows = [(i, f"{template} unique{i}") for i in range(200)]
+    # a genuinely-near pair with its own vocabulary (cold buckets)
+    rows += [
+        (900, "zebra quartz violin nimbus ember lagoon cipher onyx"),
+        (901, "zebra quartz violin nimbus ember lagoon cipher onyx extra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k, r = 64, 2
+    sigs = minhash_signatures(df, k=k, shingle_n=2).localCheckpoint(eager=False)
+    uncapped = lsh_candidate_pairs(sigs, bands=k // r, rows_per_band=r).count()
+    cap = 8
+    capped_df = lsh_candidate_pairs(
+        sigs, bands=k // r, rows_per_band=r, max_bucket=cap
+    )
+    capped = capped_df.count()
+    n = df.count()
+    assert uncapped > 5000  # the template cluster IS quadratic uncapped
+    assert capped < uncapped / 10
+    assert capped <= (k // r) * n * cap / 2
+    assert (900, 901) in {(row.id_a, row.id_b) for row in capped_df.collect()}
+
+    verified = minhash_verified_pairs(
+        df, k=k, rows_per_band=r, shingle_n=2, threshold=0.8, max_bucket=cap
+    ).collect()
+    assert (900, 901) in {(row.id_a, row.id_b) for row in verified}
+
+
+def test_minhash_cap_off_output_unchanged(docs):
+    """max_bucket=None (the default) must leave the verified output
+    byte-identical to the uncapped pipeline — the oracled contract
+    queries run cap-off."""
+    from pacts_spark.datapipe.dedup import minhash_verified_pairs
+
+    base = sorted(
+        map(tuple, minhash_verified_pairs(docs, threshold=0.5).collect())
+    )
+    huge_cap = sorted(
+        map(
+            tuple,
+            minhash_verified_pairs(docs, threshold=0.5, max_bucket=10**6).collect(),
+        )
+    )
+    assert base == huge_cap
+
+
 def test_simhash(docs):
     fp = {r.id: r.simhash for r in simhash64(docs).collect()}
     assert fp[1] == fp[2]
@@ -1510,6 +1570,68 @@ def test_sft_pairs_known_answer(spark):
     assert got[("A", 2)] == ("user: hi", "hello!")
     assert got[("A", 4)] == ("user: hi\nassistant: hello!\nuser: ", "yes?")
     assert set(got) == {("A", 2), ("A", 4)}  # orphan/null-response/null-idx dropped
+
+
+def test_sft_pairs_context_caps(spark):
+    """Turn cap bounds the frame (only the last N turns render); char
+    cap keeps the prompt TAIL; caps off reproduce the uncapped output."""
+    from pacts_spark.datapipe.sft import sft_pairs
+
+    rows = [("A", i, "user" if i % 2 else "assistant", f"t{i}", None,
+             f"2025-01-01 00:{i:02d}:00") for i in range(1, 10)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+
+    capped = {r.turn_idx: r.prompt
+              for r in sft_pairs(df, max_context_turns=2).collect()}
+    # turn 8's context is turns 6,7 only
+    assert capped[8] == "assistant: t6\nuser: t7"
+    assert capped[2] == "user: t1"  # shorter history passes through
+
+    chars = {r.turn_idx: r.prompt
+             for r in sft_pairs(df, max_context_chars=10).collect()}
+    full = {r.turn_idx: r.prompt for r in sft_pairs(df).collect()}
+    for i, p in chars.items():
+        assert len(p) <= 10
+        assert full[i].endswith(p)  # tail kept, not head
+
+
+def test_sft_pairs_whale_conversation_bounded(spark):
+    """One conversation = 50% of rows (the repo's skew shape): with the
+    turn cap, total materialized prompt characters stay LINEAR in turns
+    (≤ turns * cap * line_len) instead of quadratic — the whale task
+    can't build gigabytes. Verified on the actual output mass."""
+    from pacts_spark.datapipe.sft import sft_pairs
+
+    n = 2000
+    whale = [("W", i, "assistant" if i % 2 == 0 else "user", "x" * 50, None,
+              f"2025-01-01 00:00:{i % 60:02d}") for i in range(1, n + 1)]
+    others = [(f"c{i}", 1, "user", "q", None, "2025-01-01 00:00:00")
+              for i in range(n)]
+    df = spark.createDataFrame(
+        whale + others,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+
+    cap = 4
+    total_chars = (
+        sft_pairs(df, max_context_turns=cap)
+        .agg(F.sum(F.length("prompt")).alias("c"))
+        .collect()[0]["c"]
+    )
+    line_len = len("assistant: ") + 50 + 1  # role prefix + text + sep
+    assert total_chars <= n * cap * line_len  # linear bound holds
+    # the uncapped mass on this whale is quadratic: ~n²/4 * line_len/2
+    uncapped_chars = (
+        sft_pairs(df)
+        .agg(F.sum(F.length("prompt")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert uncapped_chars > 20 * total_chars
 
 
 def test_null_text_dedup_family_alignment(spark):

@@ -153,6 +153,94 @@ def test_load_remote_sources_transport_injected(tmp_path):
     ) == 0
 
 
+def test_load_remote_sources_default_http_transport(tmp_path):
+    """End-to-end remote ingest with NO caller-supplied transport: a
+    local http.server serves the bundle; the default urllib fetch
+    (reference timeout guards, SchemaLoader.java:41-43) downloads it,
+    and a 404 first source falls through warn-and-continue."""
+    import http.server
+    import io
+    import threading
+    import zipfile
+
+    from pacts_spark.registry import SchemaRegistry
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("bees/v1/transcripts/turn_a.json", '{"type": "object"}')
+    body = buf.getvalue()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/bundle.zip":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        reg = SchemaRegistry(domain="bees", version="v1", schema_root=tmp_path)
+        n = reg.load_remote_sources(
+            [
+                f"http://127.0.0.1:{port}/missing.zip",  # 404 → continue
+                f"http://127.0.0.1:{port}/bundle.zip",
+            ]
+        )
+        assert n == 1
+        assert reg.load_schema("transcripts", "turn_a") == {"type": "object"}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_default_fetch_read_deadline(tmp_path):
+    """A stalling-but-alive server must trip the read deadline, not hang
+    the loader (the reference's 30 s read guard, scaled down here)."""
+    import http.server
+    import threading
+    import time
+
+    import pytest
+
+    from pacts_spark.registry import default_fetch
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "1000000")
+            self.end_headers()
+            # trickle forever: one chunk then stall past the deadline
+            self.wfile.write(b"x" * 1024)
+            self.wfile.flush()
+            time.sleep(5)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises((TimeoutError, OSError)):
+            default_fetch(
+                f"http://127.0.0.1:{port}/slow.zip",
+                connect_timeout=2.0,
+                read_timeout=0.5,
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_load_zip_is_atomic_on_mid_archive_failure(tmp_path):
     """Regression: a bundle failing mid-archive (malformed entry after
     valid ones) must leave the registry untouched — partial commits
