@@ -1,9 +1,12 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so DECODE IS STUBBED — the
-Spark-side plumbing (schema, Arrow batch shape, mapInPandas iterator
-contract, partition sizing) is real and tested; swap ``_decode_stub`` for
-a pillow/torchaudio call in production.
+The container has no image/audio codecs, so the DEFAULT decode is a
+deterministic stub — the Spark-side plumbing (schema, Arrow batch shape,
+mapInPandas iterator contract, partition sizing) is real and tested.
+``extract_features(..., decoder="pillow")`` switches to a real
+import-guarded image decode (grayscale resize + mean-pool) that falls
+back to the stub per-worker when PIL is absent; audio/video decoders
+slot into the same seam.
 
 Design: decode/feature-extract runs in ``mapInPandas`` so one Python
 worker processes a whole Arrow batch of binary blobs at once; batch size
@@ -53,18 +56,53 @@ def _decode_stub(blob: bytes, modality: str, dim: int = 8) -> np.ndarray:
     )
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def _decode_pillow(blob: bytes, modality: str, dim: int = 8) -> np.ndarray:
+    """Real image decode when pillow is importable in the worker: decode
+    → grayscale → dim×dim resize → column-mean pool into ``dim`` floats
+    in [0,1]. Non-image modalities and undecodable blobs fall back to the
+    deterministic stub (same shape/dtype), so one corrupt blob degrades
+    one row, never the batch. Caller guarantees PIL is importable."""
+    import io
+
+    from PIL import Image
+
+    if modality != "image" or not blob:
+        return _decode_stub(blob, modality, dim)
+    try:
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((dim, dim))
+        return (np.asarray(img, dtype=np.float32) / np.float32(255.0)).mean(axis=0)
+    except Exception:  # noqa: BLE001 — corrupt blob → stub feature
+        return _decode_stub(blob, modality, dim)
+
+
+def extract_features(df: DataFrame, dim: int = 8, decoder: str = "stub") -> DataFrame:
     """mapInPandas decode + feature extraction over Arrow batches.
 
     One iterator call per Arrow batch (NOT per row); per-batch vectorized
     post-processing. The output schema is fixed so downstream joins/ANN
     over ``feature`` are planneable.
+
+    ``decoder``: ``"stub"`` (default — deterministic sha256 features, the
+    oracled contract output) or ``"pillow"`` — real image decode when PIL
+    imports IN THE WORKER, import-guarded with per-batch stub fallback so
+    the same job runs on codec-less clusters (like this sandbox)
+    unchanged. n_bytes/sha256 are decode-independent either way.
     """
+    if decoder not in ("stub", "pillow"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_stub
+        if decoder == "pillow":
+            try:
+                import PIL.Image  # noqa: F401 — worker-side availability probe
+
+                decode = _decode_pillow
+            except ImportError:
+                decode = _decode_stub
         for pdf in batches:
             feats = [
-                _decode_stub(c, m, dim).tolist()
+                decode(c, m, dim).tolist()
                 for c, m in zip(pdf["content"], pdf["modality"])
             ]
             yield pd.DataFrame(

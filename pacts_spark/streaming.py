@@ -16,10 +16,105 @@ windowed aggregation (per-partition verdict over event-time windows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pacts_spark.engine import PactsEngine
+
+
+class FileStreamSource:
+    """Default streaming source: newline-delimited JSON envelope files —
+    one raw payload string per line, surfaced as the single column
+    ``value``. That is the same message shape the reference consumes
+    from its broker (bytes per message, TestListener.java:33-57), and
+    the same shape :class:`KafkaStreamSource` produces — so the
+    parse → validate → fork pipeline downstream is source-agnostic and
+    broker parity is a constructor choice (the IcebergTableAdapter
+    pattern, table.py)."""
+
+    format = "file"
+
+    def __init__(self, options: dict[str, str] | None = None) -> None:
+        self.options = dict(options or {})
+
+    def load(self, spark: SparkSession, location: str) -> DataFrame:
+        reader = spark.readStream
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.text(location)
+
+
+class KafkaStreamSource:
+    """Kafka implementation of the same seam: subscribes to a topic and
+    normalizes records to the one-string-column ``value`` shape.
+    Construction-time probe refuses loudly when the Kafka connector is
+    not on the classpath (this sandbox has no broker or connector), so a
+    misconfigured cluster fails at wiring time, not mid-run — mirroring
+    IcebergTableAdapter (table.py:118)."""
+
+    format = "kafka"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        bootstrap_servers: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+        except Exception as e:  # noqa: BLE001 — any JVM error means absent
+            raise RuntimeError(
+                "Kafka connector not on the classpath; add the "
+                "spark-sql-kafka-0-10 package "
+                "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+            ) from e
+        self.bootstrap_servers = bootstrap_servers
+        self.options = dict(options or {})
+
+    def load(self, spark: SparkSession, topic: str) -> DataFrame:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", topic)
+        )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load().select(
+            F.col("value").cast("string").alias("value")
+        )
+
+
+def get_stream_source(fmt: str, spark: SparkSession | None = None, **kwargs):
+    """Config-switchable stream source (``file`` default, ``kafka`` for
+    broker parity) — the consume analogue of table.get_adapter."""
+    if fmt == "file":
+        return FileStreamSource(**kwargs)
+    if fmt == "kafka":
+        if spark is None:
+            raise ValueError("kafka source needs the SparkSession (probe)")
+        return KafkaStreamSource(spark, **kwargs)
+    raise ValueError(f"unknown stream source: {fmt!r}")
+
+
+def consume(
+    engine: PactsEngine,
+    source,
+    spark: SparkSession,
+    location: str,
+    category: str,
+    name: str,
+    payload_col: str = "value",
+) -> DataFrame:
+    """The reference's consume loop (TestListener.java:33-57: receive
+    bytes → parse JSON → validate → project) over any source adapter:
+    load the raw-payload stream and attach the JSON-mode validation
+    projection. Batch/stream symmetric — the compiled validator is the
+    same Column tree either way."""
+    return validate_stream(
+        engine, source.load(spark, location), category, name, json_col=payload_col
+    )
 
 
 def validate_stream(

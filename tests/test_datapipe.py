@@ -939,6 +939,53 @@ def test_multimodal_features(spark):
     assert [(r.media_id, r.frame_ts_ms) for r in plan] == [(3, 0), (3, 1000), (3, 2000)]
 
 
+def test_multimodal_pillow_hook(spark):
+    """decoder='pillow' is import-guarded: without PIL (this sandbox) it
+    must produce BYTE-IDENTICAL output to the stub (the fallback), and
+    n_bytes/sha256 are decode-independent; with PIL present, a real PNG
+    decodes to the pooled-grayscale feature (that branch self-skips
+    here). Unknown decoder names fail at the driver."""
+    import pytest
+
+    from pacts_spark.datapipe.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [
+        (1, "image", b"\x89PNGfake", "image/png", 64, 64, None),
+        (2, "audio", b"RIFFfake", "audio/wav", None, None, 2500),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stub = sorted(map(tuple, extract_features(df, dim=8).collect()))
+    hook = sorted(map(tuple, extract_features(df, dim=8, decoder="pillow").collect()))
+
+    try:
+        import io
+
+        from PIL import Image
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        assert hook == stub  # guarded fallback is exact
+    else:
+        # n_bytes/sha256 (the oracled columns) never depend on the decoder
+        assert [t[:4] for t in hook] == [t[:4] for t in stub]
+        # a real image decodes through PIL: constant-gray 16x16 PNG pools
+        # to a constant feature vector
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+        real = spark.createDataFrame(
+            [(9, "image", buf.getvalue(), "image/png", 16, 16, None)],
+            MEDIA_SCHEMA,
+        )
+        feat = extract_features(real, dim=4, decoder="pillow").collect()[0].feature
+        assert all(abs(v - 128.0 / 255.0) < 1e-6 for v in feat)
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(df, decoder="torch")
+
+
 def test_simhash_recall_guarantee_vs_bruteforce(spark):
     """Pigeonhole blocking must have recall 1: for every max_hamming, the
     blocked candidate pipeline finds EXACTLY the all-pairs Hamming <= h set

@@ -48,6 +48,83 @@ def test_stream_validation_matches_batch(spark, engine, tmp_path):
     }
 
 
+def test_consume_seam_batch_equals_stream(spark, engine, tmp_path):
+    """The source-adapter consume path (get_stream_source('file') →
+    consume) must produce EXACTLY the rows the batch JSON-mode validator
+    produces on the same payload lines — the seam adds routing, never
+    semantics. Kafka differs only in the constructor (same value-column
+    shape), so this parity is what broker parity rides on."""
+    from pacts_spark.streaming import consume, get_stream_source
+
+    src = tmp_path / "payloads"
+    src.mkdir()
+    lines = [
+        json.dumps({"conv_id": "c1", "turn_idx": 1, "slot": 1,
+                    "material": "P", "amount": 2.0}),
+        json.dumps({"conv_id": "c1", "turn_idx": 2, "slot": None,
+                    "material": "P", "amount": 2.0}),
+        json.dumps({"conv_id": "c2", "turn_idx": 1, "slot": 3,
+                    "material": None, "amount": None}),
+        "not json at all",
+    ]
+    (src / "m0.txt").write_text("\n".join(lines))
+
+    source = get_stream_source("file")
+    validated = consume(
+        engine, source, spark, str(src), "inventory", "inventory_item"
+    )
+    assert validated.isStreaming
+    q = (
+        validated.writeStream.format("memory")
+        .queryName("consume_seam")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.value, r.valid, r.error_message)
+        for r in spark.sql("select * from consume_seam").collect()
+    }
+
+    batch = engine.validate_data(
+        spark.read.text(str(src)), "inventory", "inventory_item",
+        json_col="value",
+    )
+    expected = {
+        (r.value, r.valid, r.error_message) for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) == 4  # the bad line yields a verdict, not a crash
+
+
+def test_kafka_source_refuses_without_connector(spark):
+    """Wiring-time failure contract, mirroring the Iceberg adapter: no
+    connector on the classpath → clear RuntimeError at construction."""
+    import pytest
+
+    from pacts_spark.streaming import KafkaStreamSource, get_stream_source
+
+    has_kafka = True
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        has_kafka = False
+
+    if has_kafka:
+        src = KafkaStreamSource(spark, "broker:9092")
+        assert src.format == "kafka"
+    else:
+        with pytest.raises(RuntimeError, match="Kafka connector"):
+            get_stream_source("kafka", spark, bootstrap_servers="broker:9092")
+    with pytest.raises(ValueError, match="unknown stream source"):
+        get_stream_source("amqp")
+    with pytest.raises(ValueError, match="needs the SparkSession"):
+        get_stream_source("kafka")
+
+
 def test_windowed_verdicts_batch_semantics(spark, engine):
     # windowed_verdicts is streaming-safe but semantics are testable on a
     # batch frame (same expressions)
