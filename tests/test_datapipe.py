@@ -1646,6 +1646,70 @@ def test_sft_pairs_context_caps(spark):
         assert full[i].endswith(p)  # tail kept, not head
 
 
+def test_sft_pairs_capped_twin_parity_on_poisoned_corpus(spark):
+    """Cross-engine regression (the round-4 lesson: twins must be
+    regression-tested against poisoned corpora, not just the clean
+    fixture): the capped-SFT DuckDB twin formula (bounded frame +
+    right()) must match the engine on multibyte/astral unicode (both
+    engines must count CODE POINTS — probed live: Spark substring and
+    DuckDB right agree), NULL texts, and NULL roles."""
+    import duckdb
+    import pandas as pd
+
+    from pacts_spark.datapipe.sft import sft_pairs
+
+    rows = [
+        ("U", 1, "user", "héllo🌍 wörld", None, "2025-01-01 00:00:00"),
+        ("U", 2, "assistant", "ok", None, "2025-01-01 00:01:00"),
+        ("U", 3, "user", None, None, "2025-01-01 00:02:00"),
+        ("U", 4, None, "👩‍👩‍👧 family", None, "2025-01-01 00:03:00"),
+        ("U", 5, "assistant", "done🌍", None, "2025-01-01 00:04:00"),
+        ("V", 1, "user", "αβγδε" * 20, None, "2025-01-01 00:00:00"),
+        ("V", 2, "assistant", "ναι", None, "2025-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.prompt, r.response)
+        for r in sft_pairs(df, max_context_turns=2, max_context_chars=30).collect()
+    )
+
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts_s"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts_s"])
+    con = duckdb.connect()
+    con.register("t", pdf.drop(columns=["ts_s"]))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH o AS (
+          SELECT conv_id, turn_idx, role, text,
+                 string_agg(coalesce(role,'') || ': ' || coalesce(text,''), chr(10))
+                   OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, ts NULLS LAST, coalesce(role,''),
+                                  coalesce(text,''), coalesce(tool,'')
+                         ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pf
+          FROM t WHERE turn_idx IS NOT NULL
+        )
+        SELECT conv_id, turn_idx,
+               CASE WHEN length(pf) > 30 THEN right(pf, 30) ELSE pf END AS prompt,
+               text AS response
+        FROM o
+        WHERE role = 'assistant' AND text IS NOT NULL
+          AND pf IS NOT NULL AND pf <> ''
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
 def test_sft_pairs_whale_conversation_bounded(spark):
     """One conversation = 50% of rows (the repo's skew shape): with the
     turn cap, total materialized prompt characters stay LINEAR in turns
