@@ -398,6 +398,10 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
+        if max_bucket < 2:
+            # a pair needs a bucket of >= 2 rows: cap < 2 would silently
+            # drop EVERY candidate corpus-wide
+            raise ValueError("max_bucket must be >= 2 (or None)")
         w_bb = Window.partitionBy("band", "bucket")
         banded = (
             banded.withColumn("bsize", F.count(F.lit(1)).over(w_bb))

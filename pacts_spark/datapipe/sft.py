@@ -53,6 +53,12 @@ def sft_pairs(
 
     Both default to None (uncapped, the original contract output).
     """
+    if max_context_turns is not None and max_context_turns < 1:
+        # 0 would build the invalid frame ROWS BETWEEN 0 PRECEDING AND 1
+        # PRECEDING (lo > hi); a no-context pair is not a pair anyway
+        raise ValueError("max_context_turns must be >= 1 (or None)")
+    if max_context_chars is not None and max_context_chars < 1:
+        raise ValueError("max_context_chars must be >= 1 (or None)")
     line = F.concat(
         F.coalesce(F.col("role"), F.lit("")),
         F.lit(": "),

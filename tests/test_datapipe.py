@@ -644,6 +644,11 @@ def test_minhash_hot_bucket_cap_bounds_candidates(spark):
     ).collect()
     assert (900, 901) in {(row.id_a, row.id_b) for row in verified}
 
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(sigs, bands=k // r, rows_per_band=r, max_bucket=1)
+
 
 def test_minhash_cap_off_output_unchanged(docs):
     """max_bucket=None (the default) must leave the verified output
@@ -1644,6 +1649,13 @@ def test_sft_pairs_context_caps(spark):
     for i, p in chars.items():
         assert len(p) <= 10
         assert full[i].endswith(p)  # tail kept, not head
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_context_turns"):
+        sft_pairs(df, max_context_turns=0)
+    with pytest.raises(ValueError, match="max_context_chars"):
+        sft_pairs(df, max_context_chars=0)
 
 
 def test_sft_pairs_capped_twin_parity_on_poisoned_corpus(spark):
