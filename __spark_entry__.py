@@ -189,6 +189,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Shared healthy-embeddings source for every vector-kernel oracle twin —
+# the SQL statement of similarity.healthy_vectors (dim=64 fixture space,
+# max_abs=VECTOR_MAX_ABS): NULL / ragged vectors and NULL/NaN/Inf/huge
+# elements never reach a list_cosine_similarity / micro-quantization
+# (DuckDB raises on both; poisoned-fixture regression). Twins that read
+# DERIVED vectors (embed_then_ann) keep their own source — derived
+# vectors are healthy by construction.
+_HEALTHY_EMB_PRED = (
+    "embedding IS NOT NULL AND len(embedding) = 64"
+    " AND len(list_filter(embedding, x -> x IS NULL"
+    " OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))"
+    " OR abs(CAST(x AS DOUBLE)) > 100.0)) = 0"
+)
+_HEALTHY_EMB_SQL = f"(SELECT * FROM embeddings WHERE {_HEALTHY_EMB_PRED})"
+
+
 def _q_validate_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     return _engine().validate_data(t, "transcripts", "turn").select(
@@ -378,7 +394,8 @@ WITH f AS (
          embedding IS NOT NULL AND len(embedding) = 64
            AND len(list_filter(embedding, x -> x IS NULL
                  OR isnan(CAST(x AS DOUBLE))
-                 OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
+                 OR isinf(CAST(x AS DOUBLE))
+                 OR abs(CAST(x AS DOUBLE)) > 100.0)) > 0 AS nonfinite,
          embedding AS v
   FROM embeddings
 ), g AS (
@@ -539,10 +556,49 @@ def _q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Structural replay of json_mode_validator over PROPS_CHECK_SCHEMA
+# ({k: integer}, required [k, v]): required-in-schema-order -> top-level
+# type -> per-property type, present = has() via json_type (explicit
+# null counts as PRESENT: json_type returns 'NULL' for it and SQL NULL
+# only for an absent path — json_extract would conflate the two, probed
+# live). integer =
+# Jackson isIntegralNumber = DuckDB json_type BIGINT/UBIGINT (9.5/"3"/
+# true all fail in both engines). Validity bound: for MALFORMED payloads
+# the engine embeds Python's parser message; the twin states the
+# first-token form ('char 0'), exact for any payload whose first byte is
+# already invalid (both poisoned rows; a mid-string parse error would
+# need the Python offset and is untwinnable in SQL).
 _VALIDATE_EVENTS_JSON_SQL = """
-SELECT event_id, FALSE AS valid,
-       'Required field missing: v' AS error_message
-FROM events
+WITH p AS (
+  SELECT event_id, props,
+         props IS NOT NULL AND json_valid(props) AS is_json,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') IS NOT NULL ELSE FALSE END AS has_k,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.v') IS NOT NULL ELSE FALSE END AS has_v,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props) = 'OBJECT' ELSE FALSE END AS is_obj,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') END AS k_type
+  FROM events
+),
+e AS (
+  SELECT event_id,
+    CASE
+      WHEN props IS NOT NULL AND NOT is_json
+        THEN 'Validation error: Expecting value: line 1 column 1 (char 0)'
+      ELSE concat_ws('; ',
+        CASE WHEN NOT has_k THEN 'Required field missing: k' END,
+        CASE WHEN NOT has_v THEN 'Required field missing: v' END,
+        CASE WHEN NOT is_obj THEN 'Invalid type. Expected: object' END,
+        CASE WHEN is_obj AND has_k AND k_type NOT IN ('BIGINT', 'UBIGINT')
+             THEN 'Invalid type for field ''k''. Expected: integer' END)
+    END AS msg
+  FROM p
+)
+SELECT event_id, msg = '' AS valid,
+       CASE WHEN msg = '' THEN 'Validation successful' ELSE msg END AS error_message
+FROM e
 """
 
 
@@ -1356,10 +1412,10 @@ SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
 
 def _q_cosine_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, k=1).select("vec_id", "nn_id")
+    return cosine_topk(emb, k=1, dim=64).select("vec_id", "nn_id")
 
 
-_COSINE_NN_SQL = """
+_COSINE_NN_SQL = f"""
 SELECT vec_id, nn_id FROM (
   SELECT a.vec_id, b.vec_id AS nn_id,
          row_number() OVER (
@@ -1367,7 +1423,7 @@ SELECT vec_id, nn_id FROM (
            ORDER BY list_cosine_similarity(
              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
            b.vec_id ASC) AS rn
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM {_HEALTHY_EMB_SQL} a JOIN {_HEALTHY_EMB_SQL} b ON a.vec_id <> b.vec_id
 ) WHERE rn = 1
 """
 
@@ -1659,10 +1715,14 @@ WITH e AS (
          list_transform(e.embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-  -- explicit dim filter matching the engine's expected_dim: the range
-  -- cross-join below would otherwise COUNT NULL/ragged vectors that
-  -- Spark's posexplode drops
+  -- explicit health filter matching the engine's expected_dim rule:
+  -- the range cross-join below would otherwise COUNT NULL/ragged
+  -- vectors Spark's posexplode drops, and quantizing a NaN/Inf/huge
+  -- element crashes the CAST in both engines
   WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
+    AND len(list_filter(e.embedding, x -> x IS NULL
+          OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+          OR abs(CAST(x AS DOUBLE)) > 100.0)) = 0
 ),
 x AS (SELECT part, r.i AS pos, q[CAST(r.i AS INT)] AS val FROM e, range(1, 65) r(i)),
 ps AS (SELECT part, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n FROM x GROUP BY 1, 2),
@@ -1932,20 +1992,49 @@ def _q_validate_envelopes_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The envelope embeds raw `props` for m in 0..5, so a NULL or non-JSON
+# props corrupts the WHOLE envelope: from_json(PERMISSIVE) yields a NULL
+# header -> 'Header is required' (poisoned-fixture parity, probed). The
+# m=4 branch replays the data errors structurally (same fragments as
+# _VALIDATE_EVENTS_JSON_SQL) instead of assuming the clean fixture's
+# props shape.
 _VALIDATE_ENVELOPES_SQL = """
-SELECT event_id,
-       (event_id % 8 = 7) AS valid,
-       CASE event_id % 8
-         WHEN 0 THEN 'Header is required'
-         WHEN 1 THEN 'Header is required'
-         WHEN 2 THEN 'Schema category is required in header'
-         WHEN 3 THEN 'Schema name is required in header'
-         WHEN 4 THEN 'Schema version is required in header; Required field missing: v'
-         WHEN 5 THEN 'Schema not found: nope/nada'
-         WHEN 6 THEN 'Required field missing: k; Required field missing: v; Invalid type. Expected: object'
-         ELSE 'Validation successful'
-       END AS error_message
-FROM events
+WITH p AS (
+  SELECT event_id, event_id % 8 AS m, props,
+         props IS NULL OR NOT json_valid(props) AS bad_embed,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') IS NOT NULL ELSE FALSE END AS has_k,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.v') IS NOT NULL ELSE FALSE END AS has_v,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props) = 'OBJECT' ELSE FALSE END AS is_obj,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') END AS k_type
+  FROM events
+),
+d AS (
+  SELECT *, concat_ws('; ',
+      CASE WHEN NOT has_k THEN 'Required field missing: k' END,
+      CASE WHEN NOT has_v THEN 'Required field missing: v' END,
+      CASE WHEN NOT is_obj THEN 'Invalid type. Expected: object' END,
+      CASE WHEN is_obj AND has_k AND k_type NOT IN ('BIGINT', 'UBIGINT')
+           THEN 'Invalid type for field ''k''. Expected: integer' END) AS data_errs
+  FROM p
+)
+SELECT event_id, (m = 7) AS valid,
+  CASE
+    WHEN m <= 5 AND bad_embed THEN 'Header is required'
+    WHEN m = 0 THEN 'Header is required'
+    WHEN m = 1 THEN 'Header is required'
+    WHEN m = 2 THEN 'Schema category is required in header'
+    WHEN m = 3 THEN 'Schema name is required in header'
+    WHEN m = 4 THEN concat_ws('; ', 'Schema version is required in header',
+                              nullif(data_errs, ''))
+    WHEN m = 5 THEN 'Schema not found: nope/nada'
+    WHEN m = 6 THEN 'Required field missing: k; Required field missing: v; Invalid type. Expected: object'
+    ELSE 'Validation successful'
+  END AS error_message
+FROM d
 """
 
 
@@ -2007,16 +2096,54 @@ def _q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m=0 embeds raw props in the wire envelope: non-JSON props make the
+# wire malformed (from_json PERMISSIVE -> NULL header -> 'Header is
+# required', metadata NULL too), while NULL props serialize as JSON null
+# (envelope_json coalesce) and validate as None;
+# valid props replay their data errors structurally (same fragments as
+# _VALIDATE_EVENTS_JSON_SQL) instead of assuming the clean fixture's
+# props shape (poisoned-fixture parity).
 _ENVELOPE_ROUNDTRIP_SQL = """
+WITH p AS (
+  -- bad_embed EXCLUDES NULL: envelope_json coalesces NULL data to JSON
+  -- null (the wire stays well-formed; the validator then sees None ->
+  -- 3-error string), unlike validate_envelopes_mixed's raw concat where
+  -- NULL props nulls the whole envelope
+  SELECT event_id, event_id % 3 AS m, props,
+         props IS NOT NULL AND NOT json_valid(props) AS bad_embed,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') IS NOT NULL ELSE FALSE END AS has_k,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.v') IS NOT NULL ELSE FALSE END AS has_v,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props) = 'OBJECT' ELSE FALSE END AS is_obj,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_type(props, '$.k') END AS k_type
+  FROM events
+),
+d AS (
+  SELECT *, concat_ws('; ',
+      CASE WHEN NOT has_k THEN 'Required field missing: k' END,
+      CASE WHEN NOT has_v THEN 'Required field missing: v' END,
+      CASE WHEN NOT is_obj THEN 'Invalid type. Expected: object' END,
+      CASE WHEN is_obj AND has_k AND k_type NOT IN ('BIGINT', 'UBIGINT')
+           THEN 'Invalid type for field ''k''. Expected: integer' END) AS data_errs
+  FROM p
+)
 SELECT event_id,
-       (event_id % 3 = 1) AS valid,
-       CASE event_id % 3
-         WHEN 0 THEN 'Required field missing: v'
-         WHEN 1 THEN 'Validation successful'
+       CASE WHEN m = 1 THEN TRUE
+            WHEN m = 0 AND NOT bad_embed AND data_errs = '' THEN TRUE
+            ELSE FALSE END AS valid,
+       CASE
+         WHEN m = 0 AND bad_embed THEN 'Header is required'
+         WHEN m = 0 THEN CASE WHEN data_errs = '' THEN 'Validation successful'
+                              ELSE data_errs END
+         WHEN m = 1 THEN 'Validation successful'
          ELSE 'Required field missing: k; Required field missing: v; Invalid type. Expected: object'
        END AS error_message,
-       'roundtrip' AS meta_source
-FROM events
+       CASE WHEN m = 0 AND bad_embed THEN NULL
+            ELSE 'roundtrip' END AS meta_source
+FROM d
 """
 
 
@@ -2024,14 +2151,14 @@ def _q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import cosine_pairs
 
     emb = _load(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    return cosine_pairs(emb, threshold=0.4, dim=64)
 
 
-_NEARDUP_SQL = """
+_NEARDUP_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(
          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM {_HEALTHY_EMB_SQL} a JOIN {_HEALTHY_EMB_SQL} b ON a.vec_id < b.vec_id
 -- threshold the ROUNDED value (matching the engine): raw-sim thresholds
 -- let BLAS-vs-DuckDB summation ulps flip boundary pairs between engines
 WHERE round(list_cosine_similarity(
@@ -2043,10 +2170,10 @@ def _q_ivf_cosine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, block_col="label", k=1).select("vec_id", "nn_id", "label")
+    return ivf_topk(emb, block_col="label", k=1, dim=64).select("vec_id", "nn_id", "label")
 
 
-_IVF_NN_SQL = """
+_IVF_NN_SQL = f"""
 SELECT vec_id, nn_id, label FROM (
   SELECT a.vec_id, b.vec_id AS nn_id, a.label,
          row_number() OVER (
@@ -2054,8 +2181,8 @@ SELECT vec_id, nn_id, label FROM (
            ORDER BY list_cosine_similarity(
              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
            b.vec_id ASC) AS rn
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM {_HEALTHY_EMB_SQL} a
+  JOIN {_HEALTHY_EMB_SQL} b ON a.label = b.label AND a.vec_id <> b.vec_id
 ) WHERE rn = 1
 """
 
@@ -2073,7 +2200,7 @@ def _q_ivf_trained_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     return ivf_quantized_topk(
-        emb, n_cells=_IVFQ_CELLS, nprobe=_IVFQ_NPROBE, k=1
+        emb, n_cells=_IVFQ_CELLS, nprobe=_IVFQ_NPROBE, k=1, dim=64
     )
 
 
@@ -2086,7 +2213,7 @@ def _ivfq_sql(
     cell-local scoring). ``source_sql``: optional SELECT producing
     (vec_id, embedding) replacing the embeddings table — lets the same
     replay run over DERIVED vectors (embed_then_ann)."""
-    pre, src = ("", "embeddings") if source_sql is None else (
+    pre, src = ("", _HEALTHY_EMB_SQL) if source_sql is None else (
         f"emb AS ({source_sql}), ",
         "emb",
     )
@@ -2217,7 +2344,9 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
        (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS pass,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
        count(*) AS n_rows
-FROM t GROUP BY 1
+-- ts IS NOT NULL pins Spark's event-time rule: window() drops
+-- null-timestamp rows (poisoned-fixture parity)
+FROM t WHERE ts IS NOT NULL GROUP BY 1
 """
 
 
@@ -2400,9 +2529,13 @@ def _q_session_windows_native_events(spark: SparkSession, sf_dir: str) -> DataFr
 
 _SESSION_WINDOWS_NATIVE_SQL = """
 WITH o AS (
+  -- ts IS NOT NULL pins Spark's native rule: session_window (like every
+  -- event-time window) DROPS null-timestamp rows; the lag/sum replay
+  -- would otherwise give them their own session (poisoned-fixture parity)
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL
 ),
 s AS (
   -- the running-sum window must order IDENTICALLY to the lag window
@@ -2581,7 +2714,7 @@ def _ann_sql(
 
     planes = _hyperplanes(dim, n_planes, seed=42)
     rows_per_band = n_planes // bands
-    pre, src = ("", "embeddings") if source_sql is None else (
+    pre, src = ("", _HEALTHY_EMB_SQL) if source_sql is None else (
         f"emb AS ({source_sql}), ",
         "emb",
     )
@@ -2658,7 +2791,11 @@ def _q_embed_then_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return ivf_quantized_topk(
-        emb, n_cells=_EMBED_IVF_CELLS, nprobe=_EMBED_IVF_NPROBE, k=1
+        emb,
+        n_cells=_EMBED_IVF_CELLS,
+        nprobe=_EMBED_IVF_NPROBE,
+        k=1,
+        dim=_EMBED_DIM,
     ).select("vec_id", "nn_id")
 
 
@@ -2951,7 +3088,7 @@ def _lsh_pairs_sql(
         for b in range(bands)
     )
     return f"""
-WITH sig AS (SELECT vec_id, [{sig_elems}] AS s FROM embeddings),
+WITH sig AS (SELECT vec_id, [{sig_elems}] AS s FROM {_HEALTHY_EMB_SQL}),
 banded AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2963,8 +3100,8 @@ SELECT id_a, id_b, round(sim, 6) AS cosine FROM (
          list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                 CAST(eb.embedding AS DOUBLE[])) AS sim
   FROM cand c
-  JOIN embeddings ea ON c.id_a = ea.vec_id
-  JOIN embeddings eb ON c.id_b = eb.vec_id
+  JOIN {_HEALTHY_EMB_SQL} ea ON c.id_a = ea.vec_id
+  JOIN {_HEALTHY_EMB_SQL} eb ON c.id_b = eb.vec_id
 ) WHERE round(sim, 6) >= {threshold}
 """
 
@@ -3217,7 +3354,11 @@ r AS (
                 PARTITION BY conv_id ORDER BY ts, turn_idx
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 1 ELSE 0 END AS is_reg
-  FROM t
+  -- pins the engine's event-time rules (poisoned-fixture parity, both
+  -- probed live): the watermarked stateful operator never sees
+  -- null-event-time rows, and a row AT the initial watermark (epoch 0
+  -- exactly) is dropped as late — epoch 0 dropped, epoch 500us kept
+  FROM t WHERE ts IS NOT NULL AND epoch_us(ts) > 0
 )
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
@@ -3343,8 +3484,12 @@ def _q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_SQL = """
 WITH b AS (
+  -- quantizable-measure CASE matching rollup.time_rollup: NaN/Inf/huge
+  -- values contribute NULL cents (CAST would raise), rows still count
   SELECT event_type, epoch_us(ts) AS us,
-         CAST(round(value * CAST(100 AS DOUBLE)) AS BIGINT) AS c
+         CASE WHEN NOT isnan(value) AND abs(value) <= 9e15
+              THEN CAST(round(value * CAST(100 AS DOUBLE)) AS BIGINT)
+         END AS c
   FROM events
 )
 SELECT 'minute' AS resolution, event_type, us - us % 60000000 AS bucket_us,
@@ -3371,13 +3516,13 @@ def _q_kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     primitive (SemDeDup cells / per-cluster sampling)."""
     from pacts_spark.datapipe.clusters import kmeans_assign
 
-    return kmeans_assign(_load(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return kmeans_assign(_load(spark, sf_dir, "embeddings"), k=8, iters=2, dim=64)
 
 
 def _kmeans_sql() -> str:
     from pacts_spark.datapipe.clusters import kmeans_oracle_sql
 
-    return kmeans_oracle_sql(k=8, iters=2, d=64)
+    return kmeans_oracle_sql(k=8, iters=2, d=64, table=_HEALTHY_EMB_SQL)
 
 
 _BM25_TERMS = ("vector", "hash", "stream", "window")
@@ -3393,14 +3538,23 @@ def _q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pacts_spark.datapipe.similarity import pq_topk
 
     return pq_topk(
-        _load(spark, sf_dir, "embeddings"), k=3, m=8, k_codes=16, iters=2, rerank=32
+        _load(spark, sf_dir, "embeddings"),
+        k=3,
+        m=8,
+        k_codes=16,
+        iters=2,
+        rerank=32,
+        dim=64,
     )
 
 
 def _pq_sql() -> str:
     from pacts_spark.datapipe.similarity import pq_oracle_sql
 
-    return pq_oracle_sql(k=3, m=8, k_codes=16, d=64, iters=2, rerank=32)
+    return pq_oracle_sql(
+        k=3, m=8, k_codes=16, d=64, iters=2, rerank=32,
+        table=_HEALTHY_EMB_SQL,
+    )
 
 
 def _q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -203,6 +203,7 @@ def embedding_centroid_drift(
     vec_col: str = "embedding",
     min_cos_ppm: int = 990_000,
     expected_dim: int | None = None,
+    max_abs: float = 100.0,
 ) -> DataFrame:
     """Per-partition embedding-centroid drift vs the corpus centroid —
     the vector analogue of :func:`drift_scores`: an embedding-model
@@ -230,10 +231,14 @@ def embedding_centroid_drift(
     7000, dot ≲ 3e9 at d=64) — far above unit-scale embeddings. Beyond
     it Spark wraps silently and DuckDB raises; like pq_oracle_sql, the
     bound is documented rather than runtime-checked. Pass
-    ``expected_dim`` to exclude NULL / wrong-dimension vectors
-    explicitly (the rule both engines state identically; bare
-    posexplode drops NULL arrays but emits partial positions for
-    ragged ones).
+    ``expected_dim`` to exclude UNHEALTHY vectors explicitly — NULL,
+    wrong dimension, or containing a NULL/NaN/±Inf/|x|>``max_abs``
+    element (the rule both engines state identically; bare posexplode
+    drops NULL arrays but emits partial positions for ragged ones, and
+    an unguarded micro quantization of a NaN/huge element CRASHES the
+    cast in both engines — poisoned-fixture regression). The
+    ``max_abs`` bound is what makes the documented validity bound
+    hold by construction instead of by trust.
 
     Returns (part, n_vecs, dot, norm2_part, norm2_global, drifted) —
     BIGINTs + boolean, hash-stable.
@@ -247,9 +252,16 @@ def embedding_centroid_drift(
     # positions for ragged ones, while a range-join twin counts them —
     # the explicit filter is the rule both engines can state identically
     if expected_dim is not None:
+        bad_el = lambda x: (  # noqa: E731
+            x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf")))
+            | (F.abs(x.cast("double")) > F.lit(float(max_abs)))
+        )
         df = df.filter(
             F.col(vec_col).isNotNull()
             & (F.size(F.col(vec_col)) == F.lit(int(expected_dim)))
+            & ~F.exists(F.col(vec_col), bad_el)
         )
     ex = df.select(F.col(part_col).alias("part"), F.posexplode(q).alias("pos", "val"))
     ps = ex.groupBy("part", "pos").agg(

@@ -85,6 +85,7 @@ def vector_column_stats(
     vec_col: str = "embedding",
     expected_dim: int = 64,
     partition_col: Column | str | None = None,
+    max_abs: float = 100.0,
 ) -> DataFrame:
     """Vector-column health check: validates an ``array<float>`` column
     the way :func:`column_stats` validates scalars — the embedding
@@ -95,9 +96,15 @@ def vector_column_stats(
     - ``n_rows`` / ``n_null`` — presence;
     - ``n_bad_dim`` — non-null vectors whose length != ``expected_dim``
       (the "wrong type" of the vector world);
-    - ``n_nonfinite`` — right-length vectors containing NULL / NaN / ±Inf
-      elements (poisoned embeddings: one NaN silently zeroes a whole
-      cosine-similarity matmul downstream);
+    - ``n_nonfinite`` — right-length vectors containing an UNHEALTHY
+      element: NULL / NaN / ±Inf (poisoned embeddings: one NaN silently
+      zeroes a whole cosine-similarity matmul downstream) or
+      ``|x| > max_abs`` (unquantizable magnitude — beyond the bound the
+      micro² integer space itself overflows BIGINT, so the health check
+      would CRASH on exactly the rows it exists to flag; poisoned-
+      fixture regression). With the default ``max_abs=100`` a vector's
+      norm² is ≤ dim·1e16 micro² — overflow-safe to dim 900;
+      embeddings are unit-norm-ish so real corpora sit orders below;
     - ``n_zero`` — GOOD vectors whose quantized norm is 0 (all elements
       |x| < 5e-7 — dead embeddings that rank arbitrarily under cosine);
     - ``min_norm2_micro2`` / ``max_norm2_micro2`` — exact min/max squared
@@ -118,7 +125,10 @@ def vector_column_stats(
     is_null = v.isNull()
     bad_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
     nonfinite_el = lambda x: (  # noqa: E731
-        x.isNull() | F.isnan(dbl(x)) | (F.abs(dbl(x)) == F.lit(float("inf")))
+        x.isNull()
+        | F.isnan(dbl(x))
+        | (F.abs(dbl(x)) == F.lit(float("inf")))
+        | (F.abs(dbl(x)) > F.lit(float(max_abs)))
     )
     nonfinite = ~is_null & ~bad_dim & F.exists(v, nonfinite_el)
     good = ~is_null & ~bad_dim & ~nonfinite

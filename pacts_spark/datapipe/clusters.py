@@ -346,6 +346,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ):
     """Deterministic Lloyd k-means over embeddings, run for a FIXED
     ``iters`` rounds in integer micro-unit space: vectors quantize to
@@ -371,6 +372,13 @@ def kmeans_assign(
     def _q(x):
         return F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
 
+    from pacts_spark.datapipe.similarity import healthy_vectors
+
+    # healthy-vector source rule (similarity.healthy_vectors): a NaN/huge
+    # element would crash the micro cast; a ragged vector breaks the
+    # zip_with distance. Unhealthy rows get NO cluster row — the twins
+    # state the same predicate. Pass dim to keep plan build action-free.
+    df = healthy_vectors(df, vec_col, dim=dim)
     pts = df.select(
         F.col(id_col), F.transform(F.col(vec_col), _q).alias("__q")
     )

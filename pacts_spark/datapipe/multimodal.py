@@ -101,17 +101,24 @@ def extract_features(df: DataFrame, dim: int = 8, decoder: str = "stub") -> Data
             except ImportError:
                 decode = _decode_stub
         for pdf in batches:
+            # NULL blob → NULL features (poisoned-fixture parity): a
+            # missing medium must stay distinguishable from a genuinely
+            # EMPTY one (b'' keeps n_bytes=0 + sha256-of-empty + stub
+            # feature) — the twin's octet_length/sha256 NULL-propagate
             feats = [
-                decode(c, m, dim).tolist()
+                None if c is None else decode(c, m, dim).tolist()
                 for c, m in zip(pdf["content"], pdf["modality"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "n_bytes": [
+                        None if c is None else len(c) for c in pdf["content"]
+                    ],
                     "sha256": [
-                        hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                        None if c is None else hashlib.sha256(c).hexdigest()
+                        for c in pdf["content"]
                     ],
                     "feature": feats,
                 }

@@ -43,7 +43,17 @@ def time_rollup(
             raise ValueError(f"resolutions must nest: {b}s not a multiple of {a}s")
 
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    cents = F.round(F.col(value_col) * F.lit(100.0)).cast("long")
+    # quantize only QUANTIZABLE measures: NaN / ±Inf / |v| > 9e15 would
+    # crash the BIGINT cast in both engines (poisoned-fixture
+    # regression) — such rows keep their n_events count but contribute
+    # NULL cents (sum/min/max skip NULLs identically in Spark and
+    # DuckDB; an all-bad bucket yields NULL aggregates in both). The
+    # 9e15 bound keeps |cents| < 2^63; the twin states the SAME CASE.
+    v = F.col(value_col).cast("double")
+    cents = F.when(
+        ~F.isnan(v) & (F.abs(v) <= F.lit(9.0e15)),
+        F.round(v * F.lit(100.0)).cast("long"),
+    )
     fine_name, fine_secs = resolutions[0]
     fine_w = F.lit(int(fine_secs) * 1_000_000).cast("long")
 

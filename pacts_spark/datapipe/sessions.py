@@ -118,21 +118,26 @@ def session_transcripts(
     def _etype(x):
         return x["t"]
 
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("__us").alias("u"),
-                        F.col(id_col).alias("i"),
-                        F.col(type_col).alias("t"),
-                    )
+    types = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__us").alias("u"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("t"),
                 )
-            ),
-            _etype,
+            )
         ),
-        " ",
+        _etype,
     )
+
+    def _notnull(x):
+        return x.isNotNull()
+
+    # string_agg rule (the twin's semantics): NULL event types are
+    # skipped, and a session with NO non-null type yields NULL — Spark's
+    # array_join alone would emit '' there (poisoned-fixture parity)
+    seq = F.when(F.exists(types, _notnull), F.array_join(types, " "))
     return with_idx.groupBy(user_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("__us").alias("start_us"),

@@ -56,6 +56,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+VECTOR_MAX_ABS = 100.0  # element bound shared with vector_column_stats
+
+
+def healthy_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_abs: float = VECTOR_MAX_ABS,
+) -> DataFrame:
+    """Drop vectors no similarity/clustering kernel can score: NULL
+    vectors, RAGGED vectors (size != ``dim``), and vectors containing a
+    NULL / NaN / ±Inf / ``|x| > max_abs`` element. The vector analogue
+    of the round-4 NULL-text rule in minhash/simhash: filter at the
+    SOURCE, inside the operator, so one poisoned row degrades one row —
+    unfiltered, a single ragged list crashes the numpy batch build of a
+    whole Arrow partition, one NaN zeroes an entire matmul, and a 1e30
+    element overflows the integer-micro casts (poisoned-fixture
+    regression). Counting/flagging these rows is
+    ``checks.stats.vector_column_stats``' job; kernels get the healthy
+    population. The DuckDB oracle twins state the SAME predicate.
+
+    ``dim=None`` infers the corpus MODE of vector sizes (ties to the
+    smaller — deterministic, twin-replayable) with one bounded driver
+    aggregate (#distinct sizes rows); pass ``dim`` where the caller
+    already knows it to keep plan build action-free."""
+    v = F.col(vec_col)
+    if dim is None:
+        sizes = (
+            df.filter(v.isNotNull())
+            .groupBy(F.size(v).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+            .limit(1)
+            .collect()
+        )
+        if not sizes:
+            return df.filter(F.lit(False))
+        dim = sizes[0]["d"]
+    bad_el = lambda x: (  # noqa: E731
+        x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf")))
+        | (F.abs(x.cast("double")) > F.lit(float(max_abs)))
+    )
+    return df.filter(
+        v.isNotNull() & (F.size(v) == F.lit(int(dim))) & ~F.exists(v, bad_el)
+    )
+
+
 def _safe_rows(M):
     """Row-normalize with a ZERO-NORM guard: an all-zero vector keeps
     norm 1, so its sims are exactly 0.0 instead of NaN — NaN sorts LAST
@@ -139,6 +188,7 @@ def cosine_topk(
     candidates: DataFrame | None = None,
     n_chunks: int = 8,
     n_query_chunks: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, nn_id, rank, cosine).
 
@@ -151,7 +201,15 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    cand = candidates if candidates is not None else df
+    # healthy-vector source rule (see healthy_vectors): one ragged/NaN
+    # row must degrade one row, not crash a whole Arrow batch's matmul.
+    # Pass dim to keep plan build action-free (else one mode-inference job).
+    df = healthy_vectors(df, vec_col, dim=dim)
+    cand = (
+        healthy_vectors(candidates, vec_col, dim=dim)
+        if candidates is not None
+        else df
+    )
     union = _chunked_union(df, cand, id_col, vec_col, n_chunks, n_query_chunks)
     kk = k
 
@@ -197,6 +255,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     n_chunks: int = 8,
     n_query_chunks: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — the exact
     near-duplicate detector over embeddings, distributed (module
@@ -208,6 +267,7 @@ def cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     union = _chunked_union(df, df, id_col, vec_col, n_chunks, n_query_chunks)
     thr = threshold
 
@@ -252,6 +312,7 @@ def ivf_topk(
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style exact top-k WITHIN coarse cells: candidates are restricted
     to rows sharing ``block_col`` (a cluster/label id). The scale shape of
@@ -261,6 +322,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     kk = k
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -311,6 +373,7 @@ def ivf_quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer + multi-probe — the full FAISS-IVF
     shape (vs :func:`ivf_topk`, which trusts a caller-provided cell column).
@@ -348,6 +411,7 @@ def ivf_quantized_topk(
     import numpy as np
     import pandas as pd
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     if n_cells is None:
         # one count job; at corpus scale this is a metadata-cheap aggregate
         n_cells = max(8, int(df.count() ** 0.5))
@@ -596,6 +660,7 @@ def lsh_ann_topk(
     import numpy as np
     import pandas as pd
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     grid = _lsh_grid(df, dim, n_planes, bands, seed, max_bucket, id_col, vec_col)
     kk = k
 
@@ -671,6 +736,7 @@ def lsh_cosine_near_pairs(
     import numpy as np
     import pandas as pd
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     grid = _lsh_grid(df, dim, n_planes, bands, seed, max_bucket, id_col, vec_col)
     thr = threshold
 
@@ -751,6 +817,7 @@ def pq_topk(
     vec_col: str = "embedding",
     n_chunks: int = 8,
     n_query_chunks: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011) —
@@ -797,6 +864,7 @@ def pq_topk(
     def _q(x):
         return F.round(x.cast("double") * F.lit(1_000_000.0)).cast("long")
 
+    df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
     pts = df.select(F.col(id_col), F.transform(F.col(vec_col), _q).alias("__q"))
     # referenced by training, encoding and the query side of the grid —
     # materialize once (multi-reference recompute trap)

@@ -499,8 +499,10 @@ def test_vector_stats_twin_survives_nonfinite_rows(spark, tmp_path):
     good = [0.5] * 64
     nan_row = [float("nan")] + [0.0] * 63
     inf_row = [float("inf")] + [0.0] * 63
+    huge_row = [1e30] * 64  # unquantizable: micro^2 overflows BIGINT
     df = spark.createDataFrame(
-        [(1, good), (2, nan_row), (3, inf_row), (4, None), (5, [1.0, 2.0])],
+        [(1, good), (2, nan_row), (3, inf_row), (4, None), (5, [1.0, 2.0]),
+         (6, huge_row)],
         "vec_id long, embedding array<double>",
     )
     pq = str(tmp_path / "emb.parquet")
@@ -510,7 +512,7 @@ def test_vector_stats_twin_survives_nonfinite_rows(spark, tmp_path):
     oracle = con.execute(entrymod.oracle_sql()["vector_stats_embeddings"]).df()
     got = vector_column_stats(df, expected_dim=64).toPandas()
     o, g = oracle.iloc[0], got.iloc[0]
-    assert int(o.n_nonfinite) == int(g.n_nonfinite) == 2
+    assert int(o.n_nonfinite) == int(g.n_nonfinite) == 3  # nan, inf, huge
     assert int(o.n_null) == int(g.n_null) == 1
     assert int(o.n_bad_dim) == int(g.n_bad_dim) == 1
     assert int(o.min_norm2_micro2) == int(g.min_norm2_micro2)

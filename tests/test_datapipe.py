@@ -1794,3 +1794,56 @@ def test_zero_vector_never_poisons_ranks_or_pairs(spark):
     assert nn[3] in (1, 2)                # zero vec's own sims are 0; id tie-break
     pairs = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.5).collect()}
     assert pairs == {(1, 2)}              # zero vector crosses no threshold
+
+
+def test_healthy_vectors_gate_and_twin_parity_on_poisoned_corpus(spark, tmp_path):
+    """Regression (round 5 poisoned-fixture sweep): one NULL/ragged/NaN/
+    huge vector must degrade ONE row, never crash a kernel (numpy batch
+    build / integer-micro cast) or a DuckDB twin (list_cosine_similarity
+    raises on NULL elements; CAST(NaN AS BIGINT) raises). The engine gate
+    is similarity.healthy_vectors; the twins state the SAME predicate via
+    _HEALTHY_EMB_SQL — this runs both against a poisoned mini-corpus."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.datapipe.clusters import kmeans_assign
+    from pacts_spark.datapipe.similarity import cosine_topk, healthy_vectors
+
+    dim = 64
+    base = [0.5] * dim
+    near = [0.5] * (dim - 1) + [0.45]
+    anti = [-0.5] * dim
+    rows = [
+        (1, base), (2, near), (3, anti),
+        (10, None),                                  # NULL vector
+        (11, [0.5] * (dim // 2)),                    # ragged
+        (12, [float("nan")] * dim),                  # NaN elements
+        (13, [float("inf")] + [0.0] * (dim - 1)),    # Inf element
+        (14, [1e30] * dim),                          # unquantizable magnitude
+        (15, [None] + [0.25] * (dim - 1)),           # NULL element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # unit: the gate keeps exactly the healthy population (both dim modes)
+    assert {r.vec_id for r in healthy_vectors(df).collect()} == {1, 2, 3}
+    assert {r.vec_id for r in healthy_vectors(df, dim=dim).collect()} == {1, 2, 3}
+
+    # numpy-kernel path: no crash, poisoned ids absent from both sides
+    nn = {r.vec_id: r.nn_id for r in cosine_topk(df, k=1, dim=dim).collect()}
+    assert nn == {1: 2, 2: 1, 3: 2}  # anti's nn is the less-anti 'near'
+
+    # integer-micro path: kmeans assigns ONLY healthy rows, never raises
+    got = kmeans_assign(df, k=2, iters=1, dim=dim)
+    assert {r.vec_id for r in got.collect()} == {1, 2, 3}
+
+    # twin parity: the ACTUAL cosine_nn oracle SQL on the poisoned corpus
+    pq = str(tmp_path / "emb.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = con.execute(entrymod.oracle_sql()["cosine_nn_embeddings"]).df()
+    assert {(int(r.vec_id), int(r.nn_id)) for _, r in oracle.iterrows()} == {
+        (1, 2), (2, 1), (3, 2)
+    }

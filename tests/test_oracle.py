@@ -127,3 +127,63 @@ def test_validation_failed_wrapper():
     assert E.validation_failed("Required field missing: x") == (
         "Validation failed: Required field missing: x"
     )
+
+
+def test_json_validator_twin_parity_on_poisoned_props(spark, tmp_path):
+    """Regression (round 5 poisoned-fixture sweep): the
+    validate_events_json twin must replay the validator STRUCTURALLY —
+    NULL props (= JSON null payload), non-JSON strings (engine embeds
+    Python's char-0 parser message), explicit-null fields (has()
+    semantics: present but wrong type), non-integral k — instead of
+    assuming the clean fixture's '{"k": n}' shape. Runs engine and the
+    ACTUAL twin SQL side by side on a poisoned mini-corpus."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    props = [
+        None,                               # JSON null payload
+        "",                                 # non-JSON: char-0 parser error
+        "not json",                         # non-JSON
+        '{"turn_idx": 2}',                  # object, k and v absent
+        '{"k": null}',                      # k PRESENT as explicit null
+        '{"k": 9.5, "v": 1}',               # k present, non-integral
+        '{"k": "3", "v": 1}',               # k present, string
+        '{"k": 2, "v": 1}',                 # fully valid
+        "[1, 2]",                           # top-level array
+        "5",                                # top-level scalar
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(props)], "event_id long, props string"
+    )
+    got = {
+        r.event_id: (r.valid, r.error_message)
+        for r in entrymod._engine()
+        .validate_data(df, "events", "props_check", json_col="props")
+        .select("event_id", "valid", "error_message")
+        .collect()
+    }
+
+    pq = str(tmp_path / "ev.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = {
+        int(r[0]): (bool(r[1]), r[2])
+        for r in con.execute(
+            entrymod.oracle_sql()["validate_events_json"]
+        ).fetchall()
+    }
+    assert got == oracle
+    # pin the load-bearing strings once, so a twin rewrite can't drift
+    assert got[4] == (
+        False,
+        "Required field missing: v; Invalid type for field 'k'. Expected: integer",
+    )
+    assert got[7] == (True, "Validation successful")
+    assert got[9][1] == (
+        "Required field missing: k; Required field missing: v; "
+        "Invalid type. Expected: object"
+    )

@@ -61,15 +61,27 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = list(sdf.columns)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = list(sdf.columns)
+        except Exception as exc:  # noqa: BLE001 — survey mode: report, go on
+            failures.append(name)
+            print(f"{name:28s} SPARK-ERROR {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:160]}")
+            continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")
             continue
-        orel = con.execute(oracles[name])
-        ocols = [d[0] for d in orel.description]
-        orows = orel.fetchall()
+        try:
+            orel = con.execute(oracles[name])
+            ocols = [d[0] for d in orel.description]
+            orows = orel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:28s} DUCK-ERROR {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:160]}")
+            continue
         sc, sv = frame_key(scols, [list(r) for r in srows])
         oc, ov = frame_key(ocols, [list(r) for r in orows])
         status = []
