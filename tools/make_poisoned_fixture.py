@@ -22,9 +22,103 @@ def main() -> int:
     dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/poison_sf")
     dst.mkdir(parents=True, exist_ok=True)
 
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copy(src / f"{t}.parquet", dst / f"{t}.parquet")
+
+    # -- orders: NULL/duplicate keys, NULL + dangling + NULL-dim FKs,
+    #    enum-violating status, NaN/Inf/huge totalprice, NULL date
+    o = pq.read_table(src / "orders.parquet")
+    obase = 9_000_000
+    odate = np.datetime64("2026-01-01T00:00:00", "us")
+    orows = pa.table(
+        {
+            "o_orderkey": pa.array(
+                [None, obase + 1, obase + 1, obase + 3, obase + 4,
+                 obase + 5, obase + 6], type=pa.int64()
+            ),
+            "o_custkey": pa.array(
+                [None, 888_888_001, 888_888_001, None, 1,
+                 888_888_002, 1], type=pa.int64()
+            ),  # 888888xxx custkeys dangle (no such customer)
+            "o_orderstatus": pa.array(
+                [None, "", "X", "O", "F", "O", "O"], type=pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [float("nan"), float("inf"), -1e308, None, 0.0,
+                 1.5, 123.0], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [None] + [odate] * 6, type=pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [None, "", "1-URGENT", "1-URGENT", "5-LOW",
+                 "5-LOW", "5-LOW"], type=pa.string()
+            ),
+        },
+        schema=o.schema,
+    )
+    pq.write_table(pa.concat_tables([o, orows]), dst / "orders.parquet")
+
+    # -- customer: NULL key in the DIMENSION (NOT-IN trap), duplicate key
+    c = pq.read_table(src / "customer.parquet")
+    crows = pa.table(
+        {
+            "c_custkey": pa.array([None, 1], type=pa.int64()),
+            "c_name": pa.array([None, ""], type=pa.string()),
+            "c_nationkey": pa.array([None, 0], type=pa.int32()),
+            "c_acctbal": pa.array([float("nan"), None], type=pa.float64()),
+            "c_mktsegment": pa.array([None, "BUILDING"], type=pa.string()),
+        },
+        schema=c.schema,
+    )
+    pq.write_table(pa.concat_tables([c, crows]), dst / "customer.parquet")
+
+    # -- lineitem: NULL composite-key halves (incl. DUPLICATED all-NULL
+    #    key), NaN/Inf measures, NULL strings, NULL date, extreme ints
+    li = pq.read_table(src / "lineitem.parquet")
+    lbase = 9_000_000
+    ldate = np.datetime64("2026-01-01T00:00:00", "us")
+    lrows = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [None, None, lbase, lbase, None, -(2**62)], type=pa.int64()
+            ),
+            "l_partkey": pa.array(
+                [None, None, 1, 1, 2, 2**62], type=pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                [None, None, 1, 1, None, None], type=pa.int64()
+            ),
+            "l_linenumber": pa.array(
+                [None, None, 1, 1, 7, 7], type=pa.int32()
+            ),
+            "l_quantity": pa.array(
+                [float("nan"), float("inf"), None, -0.0, 1e308, 1.0],
+                type=pa.float64(),
+            ),
+            "l_extendedprice": pa.array(
+                [float("-inf"), None, 0.0, 0.0, float("nan"), 1.0],
+                type=pa.float64(),
+            ),
+            "l_discount": pa.array(
+                [None, 0.0, 0.0, 0.0, 0.0, 0.0], type=pa.float64()
+            ),
+            "l_tax": pa.array(
+                [None, 0.0, 0.0, 0.0, 0.0, 0.0], type=pa.float64()
+            ),
+            "l_returnflag": pa.array(
+                [None, "", "A", "A", "N", "N"], type=pa.string()
+            ),
+            "l_linestatus": pa.array(
+                [None, "", "O", "O", "F", "F"], type=pa.string()
+            ),
+            "l_shipdate": pa.array(
+                [None, None] + [ldate] * 4, type=pa.timestamp("us")
+            ),
+        },
+        schema=li.schema,
+    )
+    pq.write_table(pa.concat_tables([li, lrows]), dst / "lineitem.parquet")
 
     # -- documents: NULL/empty/whitespace text, unicode incl. astral +
     #    ZWJ, single huge doc, repeated-token pathologies, NULL lang/src
