@@ -3354,11 +3354,13 @@ r AS (
                 PARTITION BY conv_id ORDER BY ts, turn_idx
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 1 ELSE 0 END AS is_reg
-  -- pins the engine's event-time rules (poisoned-fixture parity, both
-  -- probed live): the watermarked stateful operator never sees
-  -- null-event-time rows, and a row AT the initial watermark (epoch 0
-  -- exactly) is dropped as late — epoch 0 dropped, epoch 500us kept
-  FROM t WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+  -- pins the engine's event-time rules (poisoned-fixture parity, all
+  -- probed live): a NULL-ts row PASSES the stateful late filter (the
+  -- <=-watermark predicate is NULL -> not late -> processed), a row AT
+  -- the initial watermark (epoch 0 exactly) is dropped as late (epoch 0
+  -- dropped, epoch 500us kept), and NULL conv_id rows are removed by
+  -- the query's own startswith output filter (NULL -> filtered)
+  FROM t WHERE conv_id IS NOT NULL AND (ts IS NULL OR epoch_us(ts) > 0)
 )
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,

@@ -118,11 +118,16 @@ def session_transcripts(
     def _etype(x):
         return x["t"]
 
+    # NULLS LAST pinned INSIDE the session too: array_sort orders a NULL
+    # struct field FIRST while the twin's ORDER BY defaults NULLS LAST
+    # (probed live) — coalesce to BIGINT max so a NULL-ts event sorts
+    # after every real one, matching the window's asc_nulls_last rule
+    # (valid while no real ts is exactly 2^63-1 µs, i.e. year ~294k)
     types = F.transform(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col("__us").alias("u"),
+                    F.coalesce(F.col("__us"), F.lit(2**63 - 1)).alias("u"),
                     F.col(id_col).alias("i"),
                     F.col(type_col).alias("t"),
                 )

@@ -1847,3 +1847,53 @@ def test_healthy_vectors_gate_and_twin_parity_on_poisoned_corpus(spark, tmp_path
     assert {(int(r.vec_id), int(r.nn_id)) for _, r in oracle.iterrows()} == {
         (1, 2), (2, 1), (3, 2)
     }
+
+
+def test_session_transcript_null_ts_orders_last_matching_twin(spark, tmp_path):
+    """Regression (round 5 probe): Spark array_sort places a NULL struct
+    field FIRST while the twin's string_agg ORDER BY defaults NULLS
+    LAST — a session mixing a NULL-ts event with real ones would emit
+    its type token at opposite ends. The engine coalesces the sort key
+    to BIGINT max (NULLS LAST, the same rule the session-assignment
+    window pins); this runs engine and the ACTUAL twin SQL side by side
+    on such a session."""
+    import datetime
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.datapipe.sessions import session_transcripts
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0, "a"),
+        (2, 10, t0 + datetime.timedelta(seconds=5), "b"),
+        (3, 10, None, "z"),          # NULL ts joins the last session, sorts LAST
+        (4, 10, t0 + datetime.timedelta(seconds=6), "c"),
+        (5, 11, None, "only"),       # NULL-ts-only user: its own session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.user_id, r.session_idx): r.transcript
+        for r in session_transcripts(df, gap_seconds=900).collect()
+    }
+    assert got[(10, 1)] == "a b c z"   # NULL-ts token LAST, not first
+    assert got[(11, 1)] == "only"
+
+    pq = str(tmp_path / "ev.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1]): r[5]
+        for r in con.execute(
+            entrymod.oracle_sql()["session_transcripts_events"]
+        ).fetchall()
+    }
+    assert {k: got[k] for k in oracle} == {
+        k: oracle[k] for k in oracle
+    } and len(oracle) == len(got)

@@ -184,7 +184,9 @@ def main() -> int:
          np.datetime64("2026-01-01T00:00:00", "us"),   # exact tie
          np.datetime64("2026-01-01T00:00:01", "us"),
          np.datetime64("2026-01-01T02:00:00", "us"),
-         np.datetime64("2026-01-01T02:00:00.000001", "us")],
+         np.datetime64("2026-01-01T02:00:00.000001", "us"),
+         None],   # NULL ts on a user that ALSO has real events:
+                  # exercises mixed-session in-transcript NULL ordering
         type=pa.timestamp("us"),
     )
     n = len(ets)
@@ -192,25 +194,28 @@ def main() -> int:
         {
             "event_id": pa.array(
                 [ebase, ebase + 1, ebase + 2, ebase + 3, ebase + 3,
-                 ebase + 5, ebase + 6, ebase + 7], type=pa.int64()
+                 ebase + 5, ebase + 6, ebase + 7, ebase + 8],
+                type=pa.int64()
             ),
             "ts": ets,
             "user_id": pa.array(
                 [None, 7_777_001, 7_777_001, 7_777_002, 7_777_002,
-                 7_777_002, 7_777_002, 7_777_002], type=pa.int64()
+                 7_777_002, 7_777_002, 7_777_002, 7_777_002],
+                type=pa.int64()
             ),
             "event_type": pa.array(
                 [None, "", "error", "click", "click", "error",
-                 "purchase", "purchase"], type=pa.string()
+                 "purchase", "purchase", "nullts"], type=pa.string()
             ),
             "value": pa.array(
                 [float("nan"), float("inf"), float("-inf"), None,
-                 1e308, -1e308, 0.0, 1.5], type=pa.float64()
+                 1e308, -1e308, 0.0, 1.5, 2.5], type=pa.float64()
             ),
             "props": pa.array(
                 [None, "", "not json", '{"turn_idx": "3"}',
                  '{"turn_idx": null}', '{"nested": {"deep": [1,2]}}',
-                 '{"turn_idx": 9.5}', '{"turn_idx": 2}'],
+                 '{"turn_idx": 9.5}', '{"turn_idx": 2}',
+                 '{"turn_idx": 4}'],
                 type=pa.string(),
             ),
         },
