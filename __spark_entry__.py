@@ -2692,7 +2692,9 @@ def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, band bucketing, candidate join, exact cosine re-rank — so
     the driver checks the banding/bucketing/re-rank logic end to end."""
     emb = _load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # non-null probe: on a dirty corpus the FIRST row can be a NULL
+    # vector (len(None) raises) — the gate downstream drops it anyway
+    dim = len(emb.filter(F.col("embedding").isNotNull()).select("embedding").first()[0])
     # the SQL twin's plane literals are generated for dim=64 — fail loudly
     # rather than let a dim drift surface as a baffling parity mismatch
     assert dim == 64, f"_ann_sql() hyperplanes are dim=64, embeddings are dim={dim}"
