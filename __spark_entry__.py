@@ -2693,8 +2693,12 @@ def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver checks the banding/bucketing/re-rank logic end to end."""
     emb = _load(spark, sf_dir, "embeddings")
     # non-null probe: on a dirty corpus the FIRST row can be a NULL
-    # vector (len(None) raises) — the gate downstream drops it anyway
-    dim = len(emb.filter(F.col("embedding").isNotNull()).select("embedding").first()[0])
+    # vector (len(None) raises) — the gate downstream drops it anyway;
+    # an EMPTY corpus has no dim to probe and no neighbors to emit
+    row = emb.filter(F.col("embedding").isNotNull()).select("embedding").first()
+    if row is None:
+        return spark.createDataFrame([], "vec_id long, nn_id long")
+    dim = len(row[0])
     # the SQL twin's plane literals are generated for dim=64 — fail loudly
     # rather than let a dim drift surface as a baffling parity mismatch
     assert dim == 64, f"_ann_sql() hyperplanes are dim=64, embeddings are dim={dim}"
@@ -3281,10 +3285,26 @@ def _q_conversation_state_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf = pq.ParquetFile(turns_dst)
     ts_field = pf.schema_arrow.field("ts")
     ts_idx = pf.schema_arrow.get_field_index("ts")
-    mx_us = max(
-        pf.metadata.row_group(g).column(ts_idx).statistics.max
-        for g in range(pf.metadata.num_row_groups)
-    )
+    ts_maxes = [
+        st.max
+        for st in (
+            pf.metadata.row_group(g).column(ts_idx).statistics
+            for g in range(pf.metadata.num_row_groups)
+        )
+        if st is not None and st.has_min_max
+    ]
+    if not ts_maxes:
+        # empty corpus (or all-NULL event times): no watermark can ever
+        # advance, so no conversation can reach a FINAL state — empty
+        # output with the contract schema (empty-fixture regression:
+        # max() over zero row groups raised)
+        shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            "conv_id string, n_turns long, max_turn_idx long, "
+            "n_regressed long, monotonic boolean",
+        )
+    mx_us = max(ts_maxes)
     if not isinstance(mx_us, int):  # stats may decode to datetime; back to us
         import datetime
 

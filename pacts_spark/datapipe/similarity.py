@@ -421,6 +421,13 @@ def ivf_quantized_topk(
         .limit(n_cells)
         .collect()
     )
+    if not seeds:
+        # empty (or all-unhealthy) corpus: no quantizer can train — empty
+        # output with the contract schema (np.array([]) is 1-D and the
+        # assign matmul would raise AxisError; empty-fixture regression)
+        return df.sparkSession.createDataFrame(
+            [], "vec_id long, nn_id long, rank int"
+        )
     C = np.array([np.asarray(r[1], dtype=np.float64) for r in seeds])
     Cn = _safe_rows(C)
     bc = df.sparkSession.sparkContext.broadcast(Cn)

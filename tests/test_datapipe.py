@@ -1897,3 +1897,22 @@ def test_session_transcript_null_ts_orders_last_matching_twin(spark, tmp_path):
     assert {k: got[k] for k in oracle} == {
         k: oracle[k] for k in oracle
     } and len(oracle) == len(got)
+
+
+def test_ivf_quantized_topk_empty_and_all_unhealthy_corpus(spark):
+    """Regression (round 5 empty-fixture sweep): zero trainable seeds
+    (empty corpus, or every vector unhealthy) must yield an EMPTY frame
+    with the contract schema — np.array([]) is 1-D and the assign
+    matmul raised AxisError."""
+    from pacts_spark.datapipe.similarity import ivf_quantized_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ivf_quantized_topk(empty, n_cells=8, nprobe=2, k=1, dim=4)
+    assert out.columns == ["vec_id", "nn_id", "rank"] and out.count() == 0
+
+    allbad = spark.createDataFrame(
+        [(1, None), (2, [float("nan")] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = ivf_quantized_topk(allbad, n_cells=8, nprobe=2, k=1, dim=4)
+    assert out2.count() == 0
