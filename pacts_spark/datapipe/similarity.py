@@ -203,7 +203,20 @@ def cosine_topk(
 
     # healthy-vector source rule (see healthy_vectors): one ragged/NaN
     # row must degrade one row, not crash a whole Arrow batch's matmul.
-    # Pass dim to keep plan build action-free (else one mode-inference job).
+    # Pass dim to keep plan build action-free (else one mode-inference
+    # job). With a separate candidates frame the dim is inferred ONCE
+    # from the query side and reused — independent mode inference could
+    # pick different dims and crash the cross-frame matmul.
+    if dim is None and candidates is not None:
+        sizes = (
+            df.filter(F.col(vec_col).isNotNull())
+            .groupBy(F.size(F.col(vec_col)).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+            .limit(1)
+            .collect()
+        )
+        dim = sizes[0]["d"] if sizes else None
     df = healthy_vectors(df, vec_col, dim=dim)
     cand = (
         healthy_vectors(candidates, vec_col, dim=dim)
