@@ -196,11 +196,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (DuckDB raises on both; poisoned-fixture regression). Twins that read
 # DERIVED vectors (embed_then_ann) keep their own source — derived
 # vectors are healthy by construction.
+# one comparison per element, same verdict as the expanded isnan/isinf
+# OR-chain: NULL, NaN and +-Inf all FAIL abs(x) <= bound (DuckDB orders
+# NaN greater than everything; Spark IEEE comparisons are false on NaN)
 _HEALTHY_EMB_PRED = (
     "embedding IS NOT NULL AND len(embedding) = 64"
     " AND len(list_filter(embedding, x -> x IS NULL"
-    " OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))"
-    " OR abs(CAST(x AS DOUBLE)) > 100.0)) = 0"
+    " OR NOT (abs(CAST(x AS DOUBLE)) <= 100.0))) = 0"
 )
 _HEALTHY_EMB_SQL = f"(SELECT * FROM embeddings WHERE {_HEALTHY_EMB_PRED})"
 
