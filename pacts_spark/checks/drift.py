@@ -252,16 +252,15 @@ def embedding_centroid_drift(
     # positions for ragged ones, while a range-join twin counts them —
     # the explicit filter is the rule both engines can state identically
     if expected_dim is not None:
-        bad_el = lambda x: (  # noqa: E731
-            x.isNull()
-            | F.isnan(x.cast("double"))
-            | (F.abs(x.cast("double")) == F.lit(float("inf")))
-            | (F.abs(x.cast("double")) > F.lit(float(max_abs)))
+        # one comparison per element (see similarity.healthy_vectors):
+        # NULL/NaN/±Inf all FAIL abs(x) <= bound in both engines
+        good_el = lambda x: (  # noqa: E731
+            x.isNotNull() & (F.abs(x.cast("double")) <= F.lit(float(max_abs)))
         )
         df = df.filter(
             F.col(vec_col).isNotNull()
             & (F.size(F.col(vec_col)) == F.lit(int(expected_dim)))
-            & ~F.exists(F.col(vec_col), bad_el)
+            & F.forall(F.col(vec_col), good_el)
         )
     ex = df.select(F.col(part_col).alias("part"), F.posexplode(q).alias("pos", "val"))
     ps = ex.groupBy("part", "pos").agg(

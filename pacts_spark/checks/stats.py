@@ -124,11 +124,11 @@ def vector_column_stats(
     dbl = lambda x: x.cast("double")  # noqa: E731
     is_null = v.isNull()
     bad_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
-    nonfinite_el = lambda x: (  # noqa: E731
-        x.isNull()
-        | F.isnan(dbl(x))
-        | (F.abs(dbl(x)) == F.lit(float("inf")))
-        | (F.abs(dbl(x)) > F.lit(float(max_abs)))
+    # one comparison per element: NULL/NaN/±Inf all FAIL abs(x) <= bound
+    # (IEEE NaN comparisons are false; DuckDB orders NaN above all) —
+    # same verdict as the expanded isnan/isinf chain, smaller expr tree
+    nonfinite_el = lambda x: ~(  # noqa: E731
+        x.isNotNull() & (F.abs(dbl(x)) <= F.lit(float(max_abs)))
     )
     nonfinite = ~is_null & ~bad_dim & F.exists(v, nonfinite_el)
     good = ~is_null & ~bad_dim & ~nonfinite
