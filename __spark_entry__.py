@@ -564,11 +564,20 @@ def _q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only for an absent path — json_extract would conflate the two, probed
 # live). integer =
 # Jackson isIntegralNumber = DuckDB json_type BIGINT/UBIGINT (9.5/"3"/
-# true all fail in both engines). Validity bound: for MALFORMED payloads
-# the engine embeds Python's parser message; the twin states the
-# first-token form ('char 0'), exact for any payload whose first byte is
-# already invalid (both poisoned rows; a mid-string parse error would
-# need the Python offset and is untwinnable in SQL).
+# true all fail in both engines). Validity bounds (probed):
+# - MALFORMED payloads: the engine embeds Python's parser message; the
+#   twin states the first-token form ('char 0'), exact for any payload
+#   whose first byte is already invalid (both poisoned rows; a
+#   mid-string parse error would need the Python offset and is
+#   untwinnable in SQL).
+# - non-standard literals (NaN/Infinity): Python json AND DuckDB both
+#   accept them, so the structural replay agrees end-to-end; the
+#   REFERENCE's Jackson/serde would reject (strictness divergence
+#   inherited from the Python parser, noted not hidden).
+# - integer literals beyond uint64: integral to Python/Jackson but
+#   normalized to DOUBLE by DuckDB's json parser ('1e26' — original
+#   token unrecoverable), so the twin would flag a type error the
+#   engine (and reference) accept. Untwinnable; bound documented.
 _VALIDATE_EVENTS_JSON_SQL = """
 WITH p AS (
   SELECT event_id, props,
