@@ -45,7 +45,11 @@ from pacts_spark.datapipe.dedup import (
     simhash_near_pairs,
 )
 from pacts_spark.datapipe.packing import pack_oracle_sql
-from pacts_spark.datapipe.similarity import cosine_topk, lsh_ann_topk
+from pacts_spark.datapipe.similarity import (
+    VECTOR_MAX_ABS as _VECTOR_MAX_ABS,
+    cosine_topk,
+    lsh_ann_topk,
+)
 from pacts_spark.datapipe.textstats import doc_fingerprint, language_id, text_stats
 from pacts_spark.engine import PactsEngine
 from pacts_spark.registry import SchemaRegistry
@@ -198,11 +202,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # vectors are healthy by construction.
 # one comparison per element, same verdict as the expanded isnan/isinf
 # OR-chain: NULL, NaN and +-Inf all FAIL abs(x) <= bound (DuckDB orders
-# NaN greater than everything; Spark IEEE comparisons are false on NaN)
+# NaN greater than everything; Spark IEEE comparisons are false on NaN).
+# DEAD (all-zero) vectors are excluded too: zero-vector cosine is a
+# cross-engine CONVENTION (-1.0 in DuckDB vs the engine guard's 0.0).
+# The bound interpolates the ENGINE constant so gate and twins cannot
+# drift; 64 is the fixture dim (the twins are fixture-bound, see the
+# _ann_sql dim assert).
 _HEALTHY_EMB_PRED = (
     "embedding IS NOT NULL AND len(embedding) = 64"
     " AND len(list_filter(embedding, x -> x IS NULL"
-    " OR NOT (abs(CAST(x AS DOUBLE)) <= 100.0))) = 0"
+    f" OR NOT (abs(CAST(x AS DOUBLE)) <= {_VECTOR_MAX_ABS}))) = 0"
+    " AND len(list_filter(embedding,"
+    " x -> abs(CAST(x AS DOUBLE)) > 0.0)) > 0"
 )
 _HEALTHY_EMB_SQL = f"(SELECT * FROM embeddings WHERE {_HEALTHY_EMB_PRED})"
 
@@ -2701,13 +2712,15 @@ def _q_ann_nn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, band bucketing, candidate join, exact cosine re-rank — so
     the driver checks the banding/bucketing/re-rank logic end to end."""
     emb = _load(spark, sf_dir, "embeddings")
-    # non-null probe: on a dirty corpus the FIRST row can be a NULL
-    # vector (len(None) raises) — the gate downstream drops it anyway;
-    # an EMPTY corpus has no dim to probe and no neighbors to emit
-    row = emb.filter(F.col("embedding").isNotNull()).select("embedding").first()
-    if row is None:
+    # MODE-dim probe (similarity.infer_dim — the same rule the gate
+    # uses): a first-row probe crashes or mis-dims on a dirty corpus
+    # whose first vector is NULL/ragged; an EMPTY corpus has no dim to
+    # probe and no neighbors to emit
+    from pacts_spark.datapipe.similarity import infer_dim
+
+    dim = infer_dim(emb)
+    if dim is None:
         return spark.createDataFrame([], "vec_id long, nn_id long")
-    dim = len(row[0])
     # the SQL twin's plane literals are generated for dim=64 — fail loudly
     # rather than let a dim drift surface as a baffling parity mismatch
     assert dim == 64, f"_ann_sql() hyperplanes are dim=64, embeddings are dim={dim}"
@@ -3398,7 +3411,14 @@ SELECT conv_id,
        CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
        CAST(sum(is_reg) AS BIGINT) AS n_regressed,
        (sum(is_reg) = 0) AS monotonic
-FROM r GROUP BY conv_id
+FROM r
+-- corpus-level gate (probed): finals exist ONLY if some event time can
+-- advance the watermark; with one real ts anywhere, even an
+-- all-NULL-ts conversation finalizes (NaT state still times out), but
+-- with NO positive event time the engine stages no sentinel and emits
+-- nothing
+WHERE EXISTS (SELECT 1 FROM t WHERE ts IS NOT NULL AND epoch_us(ts) > 0)
+GROUP BY conv_id
 """
 
 

@@ -120,14 +120,16 @@ def session_transcripts(
 
     # NULLS LAST pinned INSIDE the session too: array_sort orders a NULL
     # struct field FIRST while the twin's ORDER BY defaults NULLS LAST
-    # (probed live) — coalesce to BIGINT max so a NULL-ts event sorts
-    # after every real one, matching the window's asc_nulls_last rule
-    # (valid while no real ts is exactly 2^63-1 µs, i.e. year ~294k)
+    # (probed live) — the ts key coalesces to BIGINT max (valid while no
+    # real ts is exactly 2^63-1 µs, year ~294k) and the id tiebreak gets
+    # a type-agnostic null flag (0 non-null < 1 null ≡ NULLS LAST; a
+    # sentinel would need the id's type)
     types = F.transform(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.coalesce(F.col("__us"), F.lit(2**63 - 1)).alias("u"),
+                    F.col(id_col).isNull().cast("int").alias("inull"),
                     F.col(id_col).alias("i"),
                     F.col(type_col).alias("t"),
                 )

@@ -59,6 +59,24 @@ from pyspark.sql import functions as F
 VECTOR_MAX_ABS = 100.0  # element bound shared with vector_column_stats
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Corpus MODE of vector sizes (ties to the smaller — deterministic,
+    twin-replayable) via one bounded driver aggregate (#distinct sizes
+    rows reach the driver). Returns None on an empty / all-NULL corpus.
+    Shared by :func:`healthy_vectors` and every caller that must agree
+    with it on the inferred dim (a second independent inference could
+    pick a different mode and crash a cross-frame matmul)."""
+    sizes = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("d"))
+        .limit(1)
+        .collect()
+    )
+    return int(sizes[0]["d"]) if sizes else None
+
+
 def healthy_vectors(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -83,28 +101,29 @@ def healthy_vectors(
     already knows it to keep plan build action-free."""
     v = F.col(vec_col)
     if dim is None:
-        sizes = (
-            df.filter(v.isNotNull())
-            .groupBy(F.size(v).alias("d"))
-            .count()
-            .orderBy(F.desc("count"), F.asc("d"))
-            .limit(1)
-            .collect()
-        )
-        if not sizes:
+        dim = infer_dim(df, vec_col)
+        if dim is None:
             return df.filter(F.lit(False))
-        dim = sizes[0]["d"]
     # ONE comparison per element: NULL, NaN and ±Inf all FAIL
     # `abs(x) <= max_abs` (IEEE NaN comparisons are false in Spark;
     # DuckDB orders NaN greater than everything — same verdict), so the
     # expanded isnan/isinf OR-chain is redundant. The collapsed tree
     # measurably cuts the gate's fixed Catalyst/codegen cost on
     # first execution (the visible cost class at local fixture sizes).
+    # DEAD (all-zero) vectors are unhealthy too: cosine over a zero
+    # vector is a cross-engine CONVENTION (DuckDB list_cosine_similarity
+    # says -1.0, the engine's zero-norm guard says 0.0 — probed), so no
+    # kernel verdict over one can be twin-replayable; counting them is
+    # vector_column_stats' n_zero job.
     good_el = lambda x: (  # noqa: E731
         x.isNotNull() & (F.abs(x.cast("double")) <= F.lit(float(max_abs)))
     )
+    nonzero_el = lambda x: F.abs(x.cast("double")) > F.lit(0.0)  # noqa: E731
     return df.filter(
-        v.isNotNull() & (F.size(v) == F.lit(int(dim))) & F.forall(v, good_el)
+        v.isNotNull()
+        & (F.size(v) == F.lit(int(dim)))
+        & F.forall(v, good_el)
+        & F.exists(v, nonzero_el)
     )
 
 
@@ -209,17 +228,13 @@ def cosine_topk(
     # Pass dim to keep plan build action-free (else one mode-inference
     # job). With a separate candidates frame the dim is inferred ONCE
     # from the query side and reused — independent mode inference could
-    # pick different dims and crash the cross-frame matmul.
+    # pick different dims and crash the cross-frame matmul. dim=-1 when
+    # the query side has no vectors: size never matches, both frames
+    # gate to empty with zero further jobs.
     if dim is None and candidates is not None:
-        sizes = (
-            df.filter(F.col(vec_col).isNotNull())
-            .groupBy(F.size(F.col(vec_col)).alias("d"))
-            .count()
-            .orderBy(F.desc("count"), F.asc("d"))
-            .limit(1)
-            .collect()
-        )
-        dim = sizes[0]["d"] if sizes else None
+        dim = infer_dim(df, vec_col)
+        if dim is None:
+            dim = -1
     df = healthy_vectors(df, vec_col, dim=dim)
     cand = (
         healthy_vectors(candidates, vec_col, dim=dim)
@@ -339,6 +354,10 @@ def ivf_topk(
     import pandas as pd
 
     df = healthy_vectors(df, vec_col, dim=dim)  # see healthy_vectors
+    # a NULL cell id is NOT a cell: Spark's groupBy would score pairs
+    # inside the NULL-key group while the twin's equality join (and any
+    # SQL consumer) drops them — unassigned rows get no neighbors
+    df = df.filter(F.col(block_col).isNotNull())
     kk = k
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:

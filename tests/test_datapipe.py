@@ -1779,19 +1779,25 @@ def test_null_text_dedup_family_alignment(spark):
 
 
 def test_zero_vector_never_poisons_ranks_or_pairs(spark):
-    """Regression (review round 4): an all-zero embedding must yield
-    sim 0.0 (ranked last, below any positive threshold), never NaN —
-    NaN sorts FIRST under ORDER BY sim DESC and would take rank 1 for
-    every query."""
-    from pacts_spark.datapipe.similarity import cosine_pairs, cosine_topk
+    """Regression (review round 4, strengthened round 5): an all-zero
+    embedding is DEAD input — zero-vector cosine is a cross-engine
+    CONVENTION (DuckDB list_cosine_similarity says -1.0, the engine's
+    zero-norm guard says 0.0), so the healthy gate now drops it from
+    BOTH sides entirely: it takes no rank, gets no neighbors, crosses
+    no threshold."""
+    from pacts_spark.datapipe.similarity import (
+        cosine_pairs,
+        cosine_topk,
+        healthy_vectors,
+    )
 
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
+    assert {r.vec_id for r in healthy_vectors(df).collect()} == {1, 2}
     nn = {r.vec_id: r.nn_id for r in cosine_topk(df, k=1).collect()}
-    assert nn[1] == 2 and nn[2] == 1      # zero vector never rank-1
-    assert nn[3] in (1, 2)                # zero vec's own sims are 0; id tie-break
+    assert nn == {1: 2, 2: 1}             # zero vector absent both sides
     pairs = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.5).collect()}
     assert pairs == {(1, 2)}              # zero vector crosses no threshold
 

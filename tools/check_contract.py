@@ -68,7 +68,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — survey mode: report, go on
             failures.append(name)
             print(f"{name:28s} SPARK-ERROR {type(exc).__name__}: "
-                  f"{str(exc).splitlines()[0][:160]}")
+                  f"{(str(exc).splitlines() or [repr(exc)])[0][:160]}")
             continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")
@@ -80,7 +80,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"{name:28s} DUCK-ERROR {type(exc).__name__}: "
-                  f"{str(exc).splitlines()[0][:160]}")
+                  f"{(str(exc).splitlines() or [repr(exc)])[0][:160]}")
             continue
         sc, sv = frame_key(scols, [list(r) for r in srows])
         oc, ov = frame_key(ocols, [list(r) for r in orows])
