@@ -400,14 +400,15 @@ def _q_vector_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VECTOR_STATS_SQL = """
+_VECTOR_STATS_SQL = f"""
 WITH f AS (
   SELECT embedding IS NULL AS is_null,
          embedding IS NOT NULL AND len(embedding) <> 64 AS bad_dim,
          -- one comparison: NULL/NaN/Inf all fail abs(x) <= bound
+         -- (bound interpolated from the engine default, no drift)
          embedding IS NOT NULL AND len(embedding) = 64
            AND len(list_filter(embedding, x -> x IS NULL
-                 OR NOT (abs(CAST(x AS DOUBLE)) <= 100.0))) > 0 AS nonfinite,
+                 OR NOT (abs(CAST(x AS DOUBLE)) <= {_VECTOR_MAX_ABS}))) > 0 AS nonfinite,
          embedding AS v
   FROM embeddings
 ), g AS (
@@ -1742,7 +1743,7 @@ WITH e AS (
   -- element crashes the CAST in both engines
   WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
     AND len(list_filter(e.embedding, x -> x IS NULL
-          OR NOT (abs(CAST(x AS DOUBLE)) <= 100.0))) = 0
+          OR NOT (abs(CAST(x AS DOUBLE)) <= {_VECTOR_MAX_ABS}))) = 0
 ),
 x AS (SELECT part, r.i AS pos, q[CAST(r.i AS INT)] AS val FROM e, range(1, 65) r(i)),
 ps AS (SELECT part, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n FROM x GROUP BY 1, 2),
