@@ -69,7 +69,7 @@ TRANSCRIPTS_SQL = """
 SELECT
   'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
   CAST(CASE WHEN event_id % 97 = 0 THEN 1
-       ELSE row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       ELSE row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id, props)
        END AS INTEGER) AS turn_idx,
   CASE event_type WHEN 'signup' THEN 'system'
                   WHEN 'view' THEN 'user'
@@ -2489,15 +2489,15 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_SQL = """
 WITH o AS (
-  SELECT event_id, user_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS prev_ts
   FROM events
 )
 SELECT event_id, user_id,
        CAST(sum(CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
                      THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
+            OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM o
 """
@@ -2516,7 +2516,7 @@ def _q_session_transcripts_events(spark: SparkSession, sf_dir: str) -> DataFrame
 _SESSION_TRANSCRIPTS_SQL = """
 WITH o AS (
   SELECT event_id, user_id, ts, event_type,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS prev_ts
   FROM events
 ),
 s AS (
@@ -2524,7 +2524,7 @@ s AS (
          CAST(sum(CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
                        THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id
+              OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM o
 )
@@ -2532,7 +2532,11 @@ SELECT user_id, session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(us) AS BIGINT) AS start_us,
        CAST(max(us) AS BIGINT) AS end_us,
-       string_agg(event_type, ' ' ORDER BY us, event_id) AS transcript
+       -- event_type appended as the FINAL tiebreak: Spark's array_sort
+       -- struct (us, id-null-flag, id, type) is type-deterministic on
+       -- fully tied (us, id) rows; bare string_agg order would be
+       -- unspecified there (duplicate-id corpora)
+       string_agg(event_type, ' ' ORDER BY us, event_id, event_type) AS transcript
 FROM s GROUP BY user_id, session_idx
 """
 
@@ -2553,8 +2557,8 @@ WITH o AS (
   -- ts IS NOT NULL pins Spark's native rule: session_window (like every
   -- event-time window) DROPS null-timestamp rows; the lag/sum replay
   -- would otherwise give them their own session (poisoned-fixture parity)
-  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type) AS prev_ts
   FROM events
   WHERE ts IS NOT NULL
 ),
@@ -2566,7 +2570,7 @@ s AS (
          CAST(sum(CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
                        THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id
+              OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
   FROM o
 )

@@ -203,7 +203,7 @@ def embedding_centroid_drift(
     vec_col: str = "embedding",
     min_cos_ppm: int = 990_000,
     expected_dim: int | None = None,
-    max_abs: float = 100.0,
+    max_abs: float | None = None,
 ) -> DataFrame:
     """Per-partition embedding-centroid drift vs the corpus centroid —
     the vector analogue of :func:`drift_scores`: an embedding-model
@@ -252,11 +252,16 @@ def embedding_centroid_drift(
     # positions for ragged ones, while a range-join twin counts them —
     # the explicit filter is the rule both engines can state identically
     if expected_dim is not None:
-        # one comparison per element (see similarity.healthy_vectors):
-        # NULL/NaN/±Inf all FAIL abs(x) <= bound in both engines
-        good_el = lambda x: (  # noqa: E731
-            x.isNotNull() & (F.abs(x.cast("double")) <= F.lit(float(max_abs)))
+        from pacts_spark.datapipe.similarity import (
+            VECTOR_MAX_ABS,
+            healthy_element,
         )
+
+        # single-sourced element rule (similarity.healthy_element); the
+        # default bound is the SAME constant the SQL twins interpolate
+        if max_abs is None:
+            max_abs = VECTOR_MAX_ABS
+        good_el = lambda x: healthy_element(x, max_abs)  # noqa: E731
         df = df.filter(
             F.col(vec_col).isNotNull()
             & (F.size(F.col(vec_col)) == F.lit(int(expected_dim)))

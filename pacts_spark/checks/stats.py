@@ -85,7 +85,7 @@ def vector_column_stats(
     vec_col: str = "embedding",
     expected_dim: int = 64,
     partition_col: Column | str | None = None,
-    max_abs: float = 100.0,
+    max_abs: float | None = None,
 ) -> DataFrame:
     """Vector-column health check: validates an ``array<float>`` column
     the way :func:`column_stats` validates scalars — the embedding
@@ -124,12 +124,13 @@ def vector_column_stats(
     dbl = lambda x: x.cast("double")  # noqa: E731
     is_null = v.isNull()
     bad_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
-    # one comparison per element: NULL/NaN/±Inf all FAIL abs(x) <= bound
-    # (IEEE NaN comparisons are false; DuckDB orders NaN above all) —
-    # same verdict as the expanded isnan/isinf chain, smaller expr tree
-    nonfinite_el = lambda x: ~(  # noqa: E731
-        x.isNotNull() & (F.abs(dbl(x)) <= F.lit(float(max_abs)))
-    )
+    from pacts_spark.datapipe.similarity import VECTOR_MAX_ABS, healthy_element
+
+    # single-sourced element rule (similarity.healthy_element); the
+    # default bound is the SAME constant the SQL twins interpolate
+    if max_abs is None:
+        max_abs = VECTOR_MAX_ABS
+    nonfinite_el = lambda x: ~healthy_element(x, max_abs)  # noqa: E731
     nonfinite = ~is_null & ~bad_dim & F.exists(v, nonfinite_el)
     good = ~is_null & ~bad_dim & ~nonfinite
     qv = F.transform(v, lambda x: F.round(dbl(x) * F.lit(1_000_000.0)).cast("long"))

@@ -59,6 +59,17 @@ from pyspark.sql import functions as F
 VECTOR_MAX_ABS = 100.0  # element bound shared with vector_column_stats
 
 
+def healthy_element(x, max_abs: float = VECTOR_MAX_ABS):
+    """ONE comparison per element: NULL, NaN and ±Inf all FAIL
+    ``abs(x) <= max_abs`` (IEEE NaN comparisons are false in Spark;
+    DuckDB orders NaN greater than everything — same verdict), so the
+    expanded isnan/isinf OR-chain is redundant and its larger expression
+    tree costs measurable fixed Catalyst/codegen time. Single source for
+    the rule the gate, vector_column_stats, centroid drift and every SQL
+    twin state."""
+    return x.isNotNull() & (F.abs(x.cast("double")) <= F.lit(float(max_abs)))
+
+
 def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
     """Corpus MODE of vector sizes (ties to the smaller — deterministic,
     twin-replayable) via one bounded driver aggregate (#distinct sizes
@@ -104,20 +115,12 @@ def healthy_vectors(
         dim = infer_dim(df, vec_col)
         if dim is None:
             return df.filter(F.lit(False))
-    # ONE comparison per element: NULL, NaN and ±Inf all FAIL
-    # `abs(x) <= max_abs` (IEEE NaN comparisons are false in Spark;
-    # DuckDB orders NaN greater than everything — same verdict), so the
-    # expanded isnan/isinf OR-chain is redundant. The collapsed tree
-    # measurably cuts the gate's fixed Catalyst/codegen cost on
-    # first execution (the visible cost class at local fixture sizes).
     # DEAD (all-zero) vectors are unhealthy too: cosine over a zero
     # vector is a cross-engine CONVENTION (DuckDB list_cosine_similarity
     # says -1.0, the engine's zero-norm guard says 0.0 — probed), so no
     # kernel verdict over one can be twin-replayable; counting them is
     # vector_column_stats' n_zero job.
-    good_el = lambda x: (  # noqa: E731
-        x.isNotNull() & (F.abs(x.cast("double")) <= F.lit(float(max_abs)))
-    )
+    good_el = lambda x: healthy_element(x, max_abs)  # noqa: E731
     nonzero_el = lambda x: F.abs(x.cast("double")) > F.lit(0.0)  # noqa: E731
     return df.filter(
         v.isNotNull()

@@ -40,18 +40,28 @@ def default_fetch(
     (SchemaLoader.java:41-43 — 15 s connect, 30 s read; the 10 MB
     PER-ENTRY guard is enforced downstream in :meth:`SchemaRegistry.
     load_zip`, same as the reference applies it at entry walk, not at
-    download). The body is streamed in chunks against a wall-clock
-    deadline so a stalling-but-alive server cannot hang the loader
-    past the read budget."""
+    download). Timeout semantics mirror ``URLConnection``: the connect
+    budget guards the handshake + headers, then each BODY READ gets its
+    own ``read_timeout`` (per-read, not a total-download wall clock — a
+    slow-but-healthy server streaming a large bundle must not be cut
+    off mid-body; review finding). When the underlying socket cannot be
+    re-tuned (exotic response wrappers), a wall-clock deadline of
+    ``read_timeout`` per chunk loop is the fallback guard."""
     import time
     import urllib.request
 
     req = urllib.request.Request(url, headers={"User-Agent": "pacts-spark"})
     chunks: list[bytes] = []
     with urllib.request.urlopen(req, timeout=connect_timeout) as resp:
+        # switch the socket to the per-read budget after connect
+        sock = getattr(getattr(resp, "fp", None), "raw", None)
+        sock = getattr(sock, "_sock", None)
+        per_read = hasattr(sock, "settimeout")
+        if per_read:
+            sock.settimeout(read_timeout)
         deadline = time.monotonic() + read_timeout
         while True:
-            if time.monotonic() > deadline:
+            if not per_read and time.monotonic() > deadline:
                 raise TimeoutError(f"read of {url} exceeded {read_timeout}s")
             chunk = resp.read(64 * 1024)
             if not chunk:

@@ -52,3 +52,25 @@ def get_spark(
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def jvm_class_present(spark: SparkSession, class_name: str) -> bool:
+    """True when ``class_name`` resolves on SPARK's classloader — the
+    loader ``readStream.format(...)`` actually resolves sources against.
+    ``java.lang.Class.forName`` alone false-negatives when a connector
+    jar arrives via runtime distribution (``--jars``/``addJar``): those
+    land on Spark's mutable classloader, invisible to the system loader.
+    Probes ``Utils.classForName`` (Spark's own resolution path) first,
+    falling back to ``Class.forName``."""
+    try:
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            class_name, False, False
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any JVM error means "not via Utils"
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(class_name)
+        return True
+    except Exception:  # noqa: BLE001 — absent everywhere
+        return False

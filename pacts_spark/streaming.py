@@ -60,16 +60,18 @@ class KafkaStreamSource:
         bootstrap_servers: str,
         options: dict[str, str] | None = None,
     ) -> None:
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-            )
-        except Exception as e:  # noqa: BLE001 — any JVM error means absent
+        from pacts_spark.session import jvm_class_present
+
+        # probe SPARK's classloader, not the system one: runtime-added
+        # jars are invisible to a bare Class.forName (review finding)
+        if not jvm_class_present(
+            spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        ):
             raise RuntimeError(
                 "Kafka connector not on the classpath; add the "
                 "spark-sql-kafka-0-10 package "
                 "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
-            ) from e
+            )
         self.bootstrap_servers = bootstrap_servers
         self.options = dict(options or {})
 

@@ -124,16 +124,18 @@ class IcebergTableAdapter:
     format = "iceberg"
 
     def __init__(self, spark: SparkSession) -> None:
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.iceberg.spark.source.SparkTable"
-            )
-        except Exception as e:  # noqa: BLE001 — any JVM error means absent
+        from pacts_spark.session import jvm_class_present
+
+        # probe SPARK's classloader, not the system one: runtime-added
+        # jars are invisible to a bare Class.forName (review finding)
+        if not jvm_class_present(
+            spark, "org.apache.iceberg.spark.source.SparkTable"
+        ):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath; add the "
                 "iceberg-spark-runtime jar and a catalog config "
                 "(spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)"
-            ) from e
+            )
         self._spark = spark
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:

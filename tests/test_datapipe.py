@@ -1498,12 +1498,17 @@ def test_native_session_twin_tie_at_boundary(spark, tmp_path):
     from pacts_spark.datapipe.sessions import native_session_windows
 
     rows = [
-        (1, 5, "2025-01-01 00:00:00"),
-        (2, 5, "2025-01-01 00:15:01"),   # gap 901s > 900 -> new session
-        (3, 5, "2025-01-01 00:15:01"),   # TIED ts with e2 -> same session
+        (1, 5, "2025-01-01 00:00:00", "a"),
+        (2, 5, "2025-01-01 00:15:01", "b"),  # gap 901s > 900 -> new session
+        (3, 5, "2025-01-01 00:15:01", "c"),  # TIED ts with e2 -> same session
     ]
-    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
-        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
     )
     pq = str(tmp_path / "ev.parquet")
     df.write.parquet(pq)
@@ -1877,6 +1882,8 @@ def test_session_transcript_null_ts_orders_last_matching_twin(spark, tmp_path):
         (3, 10, None, "z"),          # NULL ts joins the last session, sorts LAST
         (4, 10, t0 + datetime.timedelta(seconds=6), "c"),
         (5, 11, None, "only"),       # NULL-ts-only user: its own session
+        (6, 12, t0, "zz"),           # FULLY tied (ts, event_id) pair:
+        (6, 12, t0, "aa"),           # type itself is the final tiebreak
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, event_type string"
@@ -1887,6 +1894,7 @@ def test_session_transcript_null_ts_orders_last_matching_twin(spark, tmp_path):
     }
     assert got[(10, 1)] == "a b c z"   # NULL-ts token LAST, not first
     assert got[(11, 1)] == "only"
+    assert got[(12, 1)] == "aa zz"     # tied rows order by type, both engines
 
     pq = str(tmp_path / "ev.parquet")
     df.write.parquet(pq)
