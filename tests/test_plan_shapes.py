@@ -210,3 +210,33 @@ def test_iceberg_adapter_refuses_without_runtime(spark):
         get_adapter("iceberg", spark)
     with _pytest.raises(ValueError, match="unknown table format"):
         get_adapter("csv")
+
+
+def test_healthy_vector_gate_is_a_scan_level_filter(spark, tmp_path):
+    """The gate must compile to ONE codegen'd Filter directly over the
+    parquet scan — size/forall/exists in the scan's DataFilters, the
+    isnotnull residual pushed to the reader, and NO exchange/UDF between
+    scan and filter (at 100 TB the gate must ride the scan, not a
+    shuffle)."""
+    from pacts_spark.datapipe.similarity import healthy_vectors
+
+    pq = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [0.5] * 4), (2, None)], "vec_id long, embedding array<double>"
+    ).write.parquet(pq)
+    df = spark.read.parquet(pq)
+    plan = (
+        healthy_vectors(df, dim=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_filter = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "Scan" not in ln
+    ]
+    assert len(scan_filter) == 1, plan          # exactly one Filter node
+    assert "Exchange" not in plan, plan         # no shuffle for a row filter
+    assert "Python" not in plan, plan           # pure Column, no UDF
+    lower = plan.lower()
+    assert "isnotnull(embedding" in lower, plan # null test reaches the scan
+    assert "forall" in lower and "exists" in lower, plan
