@@ -69,7 +69,7 @@ TRANSCRIPTS_SQL = """
 SELECT
   'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
   CAST(CASE WHEN event_id % 97 = 0 THEN 1
-       ELSE row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id, props)
+       ELSE row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id, event_type, props)
        END AS INTEGER) AS turn_idx,
   CASE event_type WHEN 'signup' THEN 'system'
                   WHEN 'view' THEN 'user'
@@ -3417,12 +3417,17 @@ SELECT conv_id,
        CAST(sum(is_reg) AS BIGINT) AS n_regressed,
        (sum(is_reg) = 0) AS monotonic
 FROM r
--- corpus-level gate (probed): finals exist ONLY if some event time can
--- advance the watermark; with one real ts anywhere, even an
--- all-NULL-ts conversation finalizes (NaT state still times out), but
--- with NO positive event time the engine stages no sentinel and emits
--- nothing
-WHERE EXISTS (SELECT 1 FROM t WHERE ts IS NOT NULL AND epoch_us(ts) > 0)
+-- corpus-level gate mirroring the engine's SENTINEL-STAGING rule
+-- (footer stats present = ANY non-NULL ts): with one real ts anywhere
+-- — even epoch 0, itself late-dropped — sentinels stage, the watermark
+-- advances, and every surviving conversation (including all-NULL-ts
+-- ones, whose NaT state still times out) finalizes; with NO non-NULL
+-- ts the engine stages nothing and emits nothing. Validity bound: a
+-- corpus whose every real ts predates ~1969-09 (sentinel + 100 days
+-- still <= the initial watermark) would stage sentinels that cannot
+-- advance the watermark — untwinnable without pinning the sentinel
+-- arithmetic, and absurd as data.
+WHERE EXISTS (SELECT 1 FROM t WHERE ts IS NOT NULL)
 GROUP BY conv_id
 """
 

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pacts_spark.datapipe.similarity import VECTOR_MAX_ABS, healthy_element
+
 
 def category_histogram(
     df: DataFrame, col: str, partition_col: Column | str | None = None
@@ -203,7 +205,7 @@ def embedding_centroid_drift(
     vec_col: str = "embedding",
     min_cos_ppm: int = 990_000,
     expected_dim: int | None = None,
-    max_abs: float | None = None,
+    max_abs: float = VECTOR_MAX_ABS,
 ) -> DataFrame:
     """Per-partition embedding-centroid drift vs the corpus centroid —
     the vector analogue of :func:`drift_scores`: an embedding-model
@@ -252,15 +254,8 @@ def embedding_centroid_drift(
     # positions for ragged ones, while a range-join twin counts them —
     # the explicit filter is the rule both engines can state identically
     if expected_dim is not None:
-        from pacts_spark.datapipe.similarity import (
-            VECTOR_MAX_ABS,
-            healthy_element,
-        )
-
         # single-sourced element rule (similarity.healthy_element); the
         # default bound is the SAME constant the SQL twins interpolate
-        if max_abs is None:
-            max_abs = VECTOR_MAX_ABS
         good_el = lambda x: healthy_element(x, max_abs)  # noqa: E731
         df = df.filter(
             F.col(vec_col).isNotNull()

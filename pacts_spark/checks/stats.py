@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pacts_spark.datapipe.similarity import VECTOR_MAX_ABS, healthy_element
+
 
 def column_stats(
     df: DataFrame,
@@ -85,7 +87,7 @@ def vector_column_stats(
     vec_col: str = "embedding",
     expected_dim: int = 64,
     partition_col: Column | str | None = None,
-    max_abs: float | None = None,
+    max_abs: float = VECTOR_MAX_ABS,
 ) -> DataFrame:
     """Vector-column health check: validates an ``array<float>`` column
     the way :func:`column_stats` validates scalars — the embedding
@@ -102,7 +104,7 @@ def vector_column_stats(
       ``|x| > max_abs`` (unquantizable magnitude — beyond the bound the
       micro² integer space itself overflows BIGINT, so the health check
       would CRASH on exactly the rows it exists to flag; poisoned-
-      fixture regression). With the default ``max_abs=100`` a vector's
+      fixture regression). With the default bound (VECTOR_MAX_ABS=100) a vector's
       norm² is ≤ dim·1e16 micro² — overflow-safe to dim 900;
       embeddings are unit-norm-ish so real corpora sit orders below;
     - ``n_zero`` — GOOD vectors whose quantized norm is 0 (all elements
@@ -124,12 +126,8 @@ def vector_column_stats(
     dbl = lambda x: x.cast("double")  # noqa: E731
     is_null = v.isNull()
     bad_dim = ~is_null & (F.size(v) != F.lit(int(expected_dim)))
-    from pacts_spark.datapipe.similarity import VECTOR_MAX_ABS, healthy_element
-
     # single-sourced element rule (similarity.healthy_element); the
     # default bound is the SAME constant the SQL twins interpolate
-    if max_abs is None:
-        max_abs = VECTOR_MAX_ABS
     nonfinite_el = lambda x: ~healthy_element(x, max_abs)  # noqa: E731
     nonfinite = ~is_null & ~bad_dim & F.exists(v, nonfinite_el)
     good = ~is_null & ~bad_dim & ~nonfinite

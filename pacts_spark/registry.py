@@ -34,6 +34,7 @@ def default_fetch(
     url: str,
     connect_timeout: float = CONNECT_TIMEOUT_S,
     read_timeout: float = READ_TIMEOUT_S,
+    max_bytes: int = 256 * 1024 * 1024,
 ) -> bytes:
     """Default HTTP transport for remote schema bundles: a plain
     ``urllib.request`` GET honoring the reference's guards
@@ -46,12 +47,16 @@ def default_fetch(
     slow-but-healthy server streaming a large bundle must not be cut
     off mid-body; review finding). When the underlying socket cannot be
     re-tuned (exotic response wrappers), a wall-clock deadline of
-    ``read_timeout`` per chunk loop is the fallback guard."""
+    ``read_timeout`` per chunk loop is the fallback guard. ``max_bytes``
+    caps the TOTAL body (a drip-feeding server defeats per-read
+    timeouts; without a size bound it grows driver memory forever —
+    review finding)."""
     import time
     import urllib.request
 
     req = urllib.request.Request(url, headers={"User-Agent": "pacts-spark"})
     chunks: list[bytes] = []
+    total = 0
     with urllib.request.urlopen(req, timeout=connect_timeout) as resp:
         # switch the socket to the per-read budget after connect
         sock = getattr(getattr(resp, "fp", None), "raw", None)
@@ -66,6 +71,11 @@ def default_fetch(
             chunk = resp.read(64 * 1024)
             if not chunk:
                 break
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"download of {url} exceeded {max_bytes} bytes"
+                )
             chunks.append(chunk)
     return b"".join(chunks)
 

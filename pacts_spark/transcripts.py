@@ -53,13 +53,16 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     # NULLS LAST pinned: Spark defaults nulls-first ASC, DuckDB (the twin)
     # nulls-last — an unpinned NULL ts/event_id would get turn_idx 1 here
     # and turn_idx n in TRANSCRIPTS_SQL, poisoning every downstream oracle.
-    # props is the FINAL key so the order is TOTAL: a duplicate event_id
-    # at a tied ts (poisoned-corpus case) would otherwise take per-run /
-    # per-engine arbitrary turn ranks; rows tied on all three keys are
-    # identical in every output column, so their order cannot matter
+    # (event_type, props) are the FINAL keys so the order is TOTAL over
+    # the OUTPUT-DETERMINING columns: a duplicate event_id at a tied ts
+    # (poisoned-corpus case) would otherwise take per-run / per-engine
+    # arbitrary turn ranks. event_type determines role/tool and props
+    # determines text; rows tied on all four keys are identical in every
+    # output column, so their order cannot matter
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc_nulls_last(),
         F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
         F.col("props").asc_nulls_last(),
     )
     rn = F.row_number().over(w)

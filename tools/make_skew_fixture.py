@@ -59,7 +59,7 @@ def main() -> int:
 
     # embeddings: vec_id % 5 == 0 -> one identical vector
     e = pq.read_table(src / "embeddings.parquet").to_pydict()
-    dim = len(e["embedding"][0])
+    dim = len(next(v for v in e["embedding"] if v is not None))
     hot = [0.25] * dim
     e["embedding"] = [
         hot if (i is not None and i % 5 == 0) else v
