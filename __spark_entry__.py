@@ -1598,6 +1598,36 @@ WHERE role = 'assistant' AND text IS NOT NULL
 """
 
 
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference-pair mining (datapipe/sft.preference_pairs):
+    consecutive assistant responses sharing a (conv, turn_idx) slot —
+    the transcripts' injected duplicate-turn_idx rows are exactly the
+    regenerated-response shape — pair as (rejected = earlier, chosen =
+    later) in the pinned total order. Linear per slot (lag, never
+    all-pairs); one (conv, turn_idx)-keyed exchange."""
+    from pacts_spark.datapipe.sft import preference_pairs
+
+    return preference_pairs(_transcripts(spark, sf_dir))
+
+
+_PREFERENCE_PAIRS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+b AS (
+  SELECT conv_id, turn_idx, text, tool, epoch_us(ts) AS us
+  FROM t
+  WHERE role = 'assistant' AND text IS NOT NULL AND turn_idx IS NOT NULL
+),
+p AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         lag(text) OVER (PARTITION BY conv_id, turn_idx
+           ORDER BY coalesce(us, 9223372036854775807), text, tool) AS rejected,
+         text AS chosen
+  FROM b
+)
+SELECT conv_id, turn_idx, rejected, chosen FROM p WHERE rejected IS NOT NULL
+"""
+
+
 def _q_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-LEVEL near-duplicate detection: each conversation
     becomes one document (turn texts joined in pinned (turn_idx, text)
@@ -3725,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remains the commit gate via tools/check_contract.py.
     return {
         # --- new in round 5 (no driver row yet) ---
+        "preference_pairs_transcripts": _q_preference_pairs,
         "sft_pairs_capped_transcripts": _q_sft_pairs_capped,
         # --- never driver-checked (verified green by the r4 judge) ---
         "pq_topk_embeddings": _q_pq_topk_embeddings,
@@ -3892,6 +3923,7 @@ FROM t
         "vocab_merges_documents": _vocab_merges_sql(50),
         "conversation_neardup_transcripts": _CONV_NEARDUP_SQL,
         "sft_pairs_transcripts": _SFT_PAIRS_SQL,
+        "preference_pairs_transcripts": _PREFERENCE_PAIRS_SQL,
         "sft_pairs_capped_transcripts": _SFT_PAIRS_CAPPED_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,
         "validate_orders_missing_schema": _ORDERS_MISSING_SCHEMA_SQL,

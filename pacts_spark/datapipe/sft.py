@@ -104,3 +104,55 @@ def sft_pairs(
         )
         .select("conv_id", "turn_idx", "prompt", F.col("text").alias("response"))
     )
+
+
+def preference_pairs(
+    transcripts: DataFrame,
+    assistant_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """(conv_id, turn_idx, rejected, chosen) — preference-pair mining
+    from REGENERATED responses: when a conversation holds more than one
+    assistant turn at the SAME turn index (this repo's transcripts
+    inject exactly that via the duplicate-turn_idx violation — in real
+    pipelines a duplicated slot is a resampled response), consecutive
+    responses form a DPO-style pair. Convention (documented, arbitrary):
+    ``chosen`` is the LATER response in the pinned order — the
+    regeneration that superseded its predecessor; ``rejected`` the
+    earlier.
+
+    Rules both engines state identically: only ``assistant_role`` turns
+    with non-NULL text participate (a NULL response cannot be preferred
+    or rejected); rows with NULL turn_idx are excluded (the required
+    check's violation, as in sft_pairs); in-group order is the total key
+    (ts, text, tool) with NULLS LAST — rows tied on all three are
+    output-identical, so their order cannot matter.
+
+    Scale: ONE exchange keyed (conv, turn_idx); CONSECUTIVE pairing via
+    lag is linear in group size (an adversarial slot with k regens emits
+    k-1 pairs, never k²/2 — the whale-safe shape), and the window's
+    partition key extends the conversation key, so downstream
+    conversation-level consumers reuse the exchange.
+    """
+    base = transcripts.filter(
+        (F.col("role") == F.lit(assistant_role))
+        & F.col("text").isNotNull()
+        & F.col(idx_col).isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(conv_col, idx_col).orderBy(
+        F.coalesce(us, F.lit(2**63 - 1)).asc(),
+        F.col("text").asc_nulls_last(),
+        F.col("tool").asc_nulls_last(),
+    )
+    prev_text = F.lag("text").over(w)
+    return (
+        base.select(
+            F.col(conv_col),
+            F.col(idx_col).cast("long").alias(idx_col),
+            prev_text.alias("rejected"),
+            F.col("text").alias("chosen"),
+        )
+        .filter(F.col("rejected").isNotNull())
+    )

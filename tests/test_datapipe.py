@@ -1930,3 +1930,47 @@ def test_ivf_quantized_topk_empty_and_all_unhealthy_corpus(spark):
     )
     out2 = ivf_quantized_topk(allbad, n_cells=8, nprobe=2, k=1, dim=4)
     assert out2.count() == 0
+
+
+def test_preference_pairs_known_answer_and_whale_linearity(spark):
+    """preference_pairs: consecutive pairing within a duplicated
+    (conv, turn_idx) slot — k regenerations emit k-1 pairs (linear,
+    never all-pairs), chosen = the later response in the pinned total
+    order, NULL-text and non-assistant rows never participate."""
+    import datetime
+
+    from pacts_spark.datapipe.sft import preference_pairs
+
+    t0 = datetime.datetime(2026, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    rows = [
+        # conv A, slot 2: three regenerations -> 2 consecutive pairs
+        ("A", 2, "assistant", "r1", None, t0),
+        ("A", 2, "assistant", "r2", None, t0 + sec),
+        ("A", 2, "assistant", "r3", None, t0 + 2 * sec),
+        # conv A, slot 1: single response -> no pair
+        ("A", 1, "assistant", "solo", None, t0),
+        # conv B, slot 1: user duplicate -> not a preference pair
+        ("B", 1, "user", "u1", None, t0),
+        ("B", 1, "user", "u2", None, t0 + sec),
+        # conv B, slot 2: NULL-text regen never pairs
+        ("B", 2, "assistant", None, None, t0),
+        ("B", 2, "assistant", "kept", None, t0 + sec),
+        # conv C, slot 3: NULL ts sorts LAST -> it is the chosen one
+        ("C", 3, "assistant", "zz-early", None, t0),
+        ("C", 3, "assistant", "aa-null-ts", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.rejected, r.chosen)
+        for r in preference_pairs(df).collect()
+    }
+    assert got == {
+        ("A", 2, "r1", "r2"),
+        ("A", 2, "r2", "r3"),
+        ("C", 3, "zz-early", "aa-null-ts"),
+    }
