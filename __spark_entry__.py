@@ -1598,6 +1598,40 @@ WHERE role = 'assistant' AND text IS NOT NULL
 """
 
 
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization stats (datapipe/embedding.
+    quantize_int8_stats — the FAISS-SQ8-style compression step before
+    ANN): scale = max|x|/127, codes = round(x/scale), reconstruction-
+    error bound per vector; ids + BIGINTs only. Pure Column codegen on
+    the scan — no shuffle, no UDF."""
+    from pacts_spark.datapipe.embedding import quantize_int8_stats
+
+    return quantize_int8_stats(_load(spark, sf_dir, "embeddings"), dim=64)
+
+
+_QUANTIZE_INT8_SQL = f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM {_HEALTHY_EMB_SQL}
+)
+SELECT vec_id,
+  CAST(round(scale * 1000000) AS BIGINT) AS scale_micro,
+  CAST(list_sum(list_transform(embedding,
+    x -> round(CAST(x AS DOUBLE) / scale))) AS BIGINT) AS code_sum,
+  CAST(list_min(list_transform(embedding,
+    x -> round(CAST(x AS DOUBLE) / scale))) AS BIGINT) AS code_min,
+  CAST(list_max(list_transform(embedding,
+    x -> round(CAST(x AS DOUBLE) / scale))) AS BIGINT) AS code_max,
+  CAST(round(list_max(list_transform(embedding,
+    x -> abs(CAST(x AS DOUBLE)
+             - round(CAST(x AS DOUBLE) / scale) * scale))) * 1000000)
+    AS BIGINT) AS max_err_micro
+FROM q
+"""
+
+
 def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO-style preference-pair mining (datapipe/sft.preference_pairs):
     consecutive assistant responses sharing a (conv, turn_idx) slot —
@@ -3755,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remains the commit gate via tools/check_contract.py.
     return {
         # --- new in round 5 (no driver row yet) ---
+        "quantize_int8_embeddings": _q_quantize_int8,
         "preference_pairs_transcripts": _q_preference_pairs,
         "sft_pairs_capped_transcripts": _q_sft_pairs_capped,
         # --- never driver-checked (verified green by the r4 judge) ---
@@ -3923,6 +3958,7 @@ FROM t
         "vocab_merges_documents": _vocab_merges_sql(50),
         "conversation_neardup_transcripts": _CONV_NEARDUP_SQL,
         "sft_pairs_transcripts": _SFT_PAIRS_SQL,
+        "quantize_int8_embeddings": _QUANTIZE_INT8_SQL,
         "preference_pairs_transcripts": _PREFERENCE_PAIRS_SQL,
         "sft_pairs_capped_transcripts": _SFT_PAIRS_CAPPED_SQL,
         "validate_envelopes_mixed": _VALIDATE_ENVELOPES_SQL,

@@ -149,3 +149,66 @@ FROM (
   )
 )
 """
+
+
+def quantize_int8_stats(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> "DataFrame":
+    """Symmetric per-vector INT8 quantization with reconstruction-error
+    stats — the vector-compression step production ANN runs before
+    indexing (FAISS SQ8 / scalar quantization): scale = max|x| / 127,
+    code_i = round(x_i / scale) ∈ [-127, 127], reconstruction = code·scale.
+
+    Output is ids + BIGINTs only (the repo's cross-engine hash surface):
+    (vec_id, scale_micro, code_sum, code_min, code_max, max_err_micro)
+    where scale_micro = round(scale·1e6), code_sum/min/max summarize the
+    code vector (an order-independent integrity checksum — a downstream
+    bit flip moves code_sum), and max_err_micro = round(max_i |x_i −
+    code_i·scale|·1e6) (the per-vector reconstruction-error bound; for
+    symmetric int8 it is ≤ scale/2, i.e. ≤ max|x|/254).
+
+    Cross-engine: round() is half-away-from-zero in BOTH engines (pinned
+    by test_kmeans_round_half_away_matches_duckdb) and every division is
+    the same IEEE double op, so codes and stats replay exactly. The
+    healthy-vector gate (similarity.healthy_vectors) excludes the
+    all-zero vector whose scale would be 0 — division stays total.
+
+    Scale: pure Column transform/aggregate in whole-stage codegen — one
+    scan, no shuffle, no UDF; at 100 TB this IS the scan."""
+    from pyspark.sql import functions as F
+
+    from pacts_spark.datapipe.similarity import healthy_vectors
+
+    df = healthy_vectors(df, vec_col, dim=dim)
+    v = F.col(vec_col)
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    mx = F.aggregate(
+        F.transform(v, lambda x: F.abs(dbl(x))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    scale = mx / F.lit(127.0)
+    codes = F.transform(v, lambda x: F.round(dbl(x) / scale).cast("long"))
+    err = F.aggregate(
+        F.zip_with(
+            codes, v, lambda c, x: F.abs(dbl(x) - c.cast("double") * scale)
+        ),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    # codes referenced by three aggregates — materialize in ONE projection
+    # (shared-subexpression rule: same-projection fan-out is safe, a
+    # cross-projection reference would be re-inlined by CollapseProject)
+    return df.select(
+        F.col(id_col),
+        F.round(scale * F.lit(1_000_000.0)).cast("long").alias("scale_micro"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.round(err * F.lit(1_000_000.0)).cast("long").alias("max_err_micro"),
+    )

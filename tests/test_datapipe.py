@@ -1974,3 +1974,36 @@ def test_preference_pairs_known_answer_and_whale_linearity(spark):
         ("A", 2, "r2", "r3"),
         ("C", 3, "zz-early", "aa-null-ts"),
     }
+
+
+def test_quantize_int8_known_answer(spark, tmp_path):
+    """Symmetric int8 quantization: exact hand-computed codes/stats, the
+    half-away-from-zero boundary (-63.5 -> -64) both engines share, and
+    the ACTUAL twin SQL on the same frame."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pacts_spark.datapipe.embedding import quantize_int8_stats
+
+    vec = [1.27, -0.635, 0.0] + [0.0] * 61  # scale = 1.27/127 = 0.01
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>"
+    )
+    r = quantize_int8_stats(df, dim=64).collect()[0]
+    assert r.scale_micro == 10_000
+    # codes: 127, round(-63.5) = -64 (half AWAY from zero), zeros
+    assert r.code_sum == 127 - 64
+    assert (r.code_min, r.code_max) == (-64, 127)
+    # reconstruction err: |-0.635 - (-64 * 0.01)| = 0.005
+    assert r.max_err_micro == 5_000
+
+    pq = str(tmp_path / "emb.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    o = con.execute(
+        entrymod.oracle_sql()["quantize_int8_embeddings"]
+    ).fetchall()[0]
+    assert tuple(o) == (1, 10_000, 63, -64, 127, 5_000)
