@@ -1598,6 +1598,40 @@ WHERE role = 'assistant' AND text IS NOT NULL
 """
 
 
+def _q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: for every EVAL vector
+    (vec_id % 10 = 0, a deterministic split) the nearest TRAIN vector
+    and its rounded cosine — the semantic twin of the fingerprint-based
+    decontamination_documents (paraphrased leakage that n-gram overlap
+    misses). First oracled consumer of cosine_topk's cross-frame
+    ``candidates`` path (queries and candidates are DIFFERENT frames —
+    the grid replicates eval rows across candidate chunks; exact, not
+    LSH, because the eval set is the small side by construction)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    return cosine_topk(ev, k=1, candidates=tr, dim=64).select(
+        "vec_id", "nn_id", "cosine"
+    )
+
+
+_EMBEDDING_DECON_SQL = f"""
+SELECT vec_id, nn_id, cosine FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         round(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+           b.vec_id ASC) AS rn
+  FROM {_HEALTHY_EMB_SQL} a JOIN {_HEALTHY_EMB_SQL} b
+    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+) WHERE rn = 1
+"""
+
+
 def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector INT8 quantization stats (datapipe/embedding.
     quantize_int8_stats — the FAISS-SQ8-style compression step before
@@ -3789,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remains the commit gate via tools/check_contract.py.
     return {
         # --- new in round 5 (no driver row yet) ---
+        "embedding_decontamination": _q_embedding_decontamination,
         "quantize_int8_embeddings": _q_quantize_int8,
         "preference_pairs_transcripts": _q_preference_pairs,
         "sft_pairs_capped_transcripts": _q_sft_pairs_capped,
@@ -3958,6 +3993,7 @@ FROM t
         "vocab_merges_documents": _vocab_merges_sql(50),
         "conversation_neardup_transcripts": _CONV_NEARDUP_SQL,
         "sft_pairs_transcripts": _SFT_PAIRS_SQL,
+        "embedding_decontamination": _EMBEDDING_DECON_SQL,
         "quantize_int8_embeddings": _QUANTIZE_INT8_SQL,
         "preference_pairs_transcripts": _PREFERENCE_PAIRS_SQL,
         "sft_pairs_capped_transcripts": _SFT_PAIRS_CAPPED_SQL,
