@@ -96,6 +96,9 @@ HEADLINE = [
     "vocab_merges_documents",
     "conversation_neardup_transcripts",
     "sft_pairs_transcripts",
+    "preference_pairs_transcripts",
+    "quantize_int8_embeddings",
+    "embedding_decontamination",
 ]
 
 
